@@ -1,13 +1,60 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each entry maps to an operator row in SURVEY.md §2; the paired
+  * `oracleSql` is the DuckDB-equivalent SQL the driver checks against. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q2JoinBroadcast(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core (§2.2-2.6)
+    "q01_agg"            -> Relational.q1Agg _,
+    "q02_join_broadcast" -> Relational.q2JoinBroadcast _,
+    "q03_anti_join"      -> Relational.q3AntiJoin _,
+    "q04_semi_join"      -> Relational.q4SemiJoin _,
+    "q05_first_seen"     -> Relational.q5FirstSeen _,
+    "q06_latest_upsert"  -> Relational.q6LatestUpsert _,
+    "q07_topk"           -> Relational.q7TopK _,
+    "q08_running_sum"    -> Relational.q8RunningSum _,
+    "q09_budget_rank"    -> Relational.q9BudgetRank _,
+    "q10_distinct_count" -> Relational.q10DistinctCount _,
+    "q11_union"          -> Relational.q11Union _,
+    "q12_scan_prune"     -> Relational.q12ScanPrune _,
+    "q30_tumbling"       -> Relational.q30Tumbling _,
+    "q31_sessionize"     -> Relational.q31Sessionize _,
+    "q32_error_routing"  -> Relational.q32ErrorRouting _,
+    // URL ops (§2.2/§2.7, custom Catalyst expressions)
+    "q15_canonicalize"   -> UrlQueries.q15Canonicalize _,
+    "q16_resolve_url"    -> UrlQueries.q16Resolve _,
+    "q17_scheme_filter"  -> UrlQueries.q17SchemeFilter _,
+    "q18_domain_agg"     -> UrlQueries.q18DomainAgg _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg"            -> Relational.q1Sql,
+    "q02_join_broadcast" -> Relational.q2Sql,
+    "q03_anti_join"      -> Relational.q3Sql,
+    "q04_semi_join"      -> Relational.q4Sql,
+    "q05_first_seen"     -> Relational.q5Sql,
+    "q06_latest_upsert"  -> Relational.q6Sql,
+    "q07_topk"           -> Relational.q7Sql,
+    "q08_running_sum"    -> Relational.q8Sql,
+    "q09_budget_rank"    -> Relational.q9Sql,
+    "q10_distinct_count" -> Relational.q10Sql,
+    "q11_union"          -> Relational.q11Sql,
+    "q12_scan_prune"     -> Relational.q12Sql,
+    "q30_tumbling"       -> Relational.q30Sql,
+    "q31_sessionize"     -> Relational.q31Sql,
+    "q32_error_routing"  -> Relational.q32Sql,
+    "q15_canonicalize"   -> UrlQueries.q15Sql,
+    "q16_resolve_url"    -> UrlQueries.q16Sql,
+    "q17_scheme_filter"  -> UrlQueries.q17Sql,
+    "q18_domain_agg"     -> UrlQueries.q18Sql,
+  )
 }

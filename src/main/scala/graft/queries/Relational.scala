@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/**
+ * Relational operator coverage (SURVEY.md §2.2–§2.6): scans with
+ * pushdown, broadcast joins, anti/semi joins, first-seen/latest-per-key
+ * dedup (the reference's seen-set + Whoosh-upsert semantics,
+ * `master/master_node.py:119-127`, `indexer/indexer_node.py:91-98`),
+ * top-k, windows, per-key budgets (§2.8 politeness analogue),
+ * sessionization and tumbling event windows.
+ *
+ * Determinism contract with the DuckDB oracle: sums of doubles go
+ * through DECIMAL casts (exact, order-independent); doubles in output
+ * are either raw column values or derived from exact integers/decimals
+ * so both engines produce bit-identical values; every query has a total
+ * ORDER BY.
+ */
+object Relational {
+  private val DEC = "decimal(18,4)"
+
+  /** q1: TPC-H Q1-shaped scan+filter+hash-aggregate (A1; pushdown). */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast(DEC)).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast(DEC)).cast("double").as("sum_base_price"),
+        sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC)))
+          .cast("decimal(28,8)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2: star join with broadcast dims (J3 robots-broadcast analogue). */
+  def q2JoinBroadcast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC)))
+          .cast("decimal(28,8)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+
+  val q2Sql: String =
+    """SELECT n_name,
+      | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q3: left-anti join — the frontier seen-set gate (J1). */
+  def q3AntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = orders(s, d).filter($"o_totalprice" > 300000).select($"o_custkey")
+    customer(s, d)
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val q3Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q4: left-semi join (J6 AND-intersection shape). */
+  def q4SemiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val expensive = lineitem(s, d).filter($"l_extendedprice" > 80000).select($"l_partkey")
+    part(s, d)
+      .join(expensive, $"p_partkey" === $"l_partkey", "left_semi")
+      .select($"p_partkey", $"p_brand")
+      .orderBy($"p_partkey")
+  }
+
+  val q4Sql: String =
+    """SELECT p_partkey, p_brand FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_extendedprice > 80000)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q5: first-seen-wins per key — the reference's `seen_urls` first-discovery
+    * semantics (`master/master_node.py:119-127`). */
+  def q5FirstSeen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("first_event"), $"ts".as("first_ts"))
+      .orderBy($"user_id")
+  }
+
+  val q5Sql: String =
+    """SELECT user_id, event_id AS first_event, ts AS first_ts FROM (
+      | SELECT user_id, event_id, ts,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** q6: latest-per-key — Whoosh `update_document` upsert semantics (S7). */
+  def q6LatestUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("last_event"), $"event_type".as("last_type"))
+      .orderBy($"user_id")
+  }
+
+  val q6Sql: String =
+    """SELECT user_id, event_id AS last_event, event_type AS last_type FROM (
+      | SELECT user_id, event_id, event_type,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** q7: global top-k with deterministic tie-break (O2 BM25-top-k shape —
+    * Spark plans TakeOrderedAndProject, no full sort). */
+  def q7TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice".as("total"))
+      .limit(20)
+  }
+
+  val q7Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice AS total
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** q8: running sum per key (decimal-exact) — cumulative counters (A1). */
+  def q8RunningSum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("running_value", sum($"value".cast("decimal(18,6)")).over(w).cast("double"))
+      .select($"user_id", $"event_id", $"running_value")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q8Sql: String =
+    """SELECT user_id, event_id,
+      | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+      |   PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** q9: per-key budget rank ≤ k — the politeness budget window (§2.8:
+    * row_number over host ≤ floor(wave/crawl_delay)). */
+  def q9BudgetRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"user_id", $"event_id", $"rn")
+      .orderBy($"user_id", $"rn")
+  }
+
+  val q9Sql: String =
+    """SELECT user_id, event_id, rn FROM (
+      | SELECT user_id, event_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      | FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+
+  /** q10: exact distinct count per group (A2 visited-count). */
+  def q10DistinctCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    nation(s, d)
+      .join(customer(s, d), $"c_nationkey" === $"n_nationkey", "left")
+      .groupBy($"n_name")
+      .agg(countDistinct($"c_custkey").as("n_cust"),
+           count($"c_custkey").as("n_rows"))
+      .orderBy($"n_name")
+  }
+
+  val q10Sql: String =
+    """SELECT n_name, count(DISTINCT c_custkey) AS n_cust, count(c_custkey) AS n_rows
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q11: UNION ALL + group (frontier += new links, §2.6). */
+  def q11Union(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = orders(s, d).select($"o_custkey".as("custkey"))
+    val b = customer(s, d).select($"c_custkey".cast("long").as("custkey"))
+    a.unionByName(b)
+      .groupBy($"custkey")
+      .agg(count(lit(1)).as("appearances"))
+      .orderBy($"custkey")
+  }
+
+  val q11Sql: String =
+    """SELECT custkey, count(*) AS appearances FROM (
+      | SELECT o_custkey AS custkey FROM orders
+      | UNION ALL SELECT CAST(c_custkey AS BIGINT) FROM customer)
+      |GROUP BY custkey ORDER BY custkey""".stripMargin
+
+  /** q12: scan with projection+filter pushdown to parquet (S1/S2 scan). */
+  def q12ScanPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1995-02-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q12Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1995-02-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q30: tumbling event-time window (A5/O5 rate-per-bucket analogue). */
+  def q30Tumbling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour_bucket"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy($"hour_bucket", $"event_type")
+  }
+
+  val q30Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour_bucket, event_type, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q31: sessionize with 30-min inactivity gap (streaming-state shape,
+    * §2.8 — lag + cumulative flag, all-integer arithmetic). */
+  def q31Sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, d)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_ts".isNull ||
+             (unix_timestamp($"ts") - unix_timestamp($"prev_ts")) > 1800, 1).otherwise(0))
+      .groupBy($"user_id")
+      .agg(sum($"new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  val q31Sql: String =
+    """SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events FROM (
+      | SELECT user_id,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+      |       THEN 1 ELSE 0 END AS new_s
+      | FROM events) GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q32: error/success routing counts (F12: route by outcome class). */
+  def q32ErrorRouting(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .withColumn("outcome", when($"event_type" === "error", lit("failed")).otherwise(lit("ok")))
+      .groupBy($"outcome")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"outcome")
+  }
+
+  val q32Sql: String =
+    """SELECT CASE WHEN event_type = 'error' THEN 'failed' ELSE 'ok' END AS outcome,
+      | count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+}

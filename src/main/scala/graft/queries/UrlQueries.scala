@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.urlnorm.urlfunctions._
+import Tables._
+
+/**
+ * URL-operator coverage (SURVEY.md §2.2/§2.7: F1-F3, F7, C2, C10).
+ * URLs are synthesized deterministically from `documents.doc_id`, so the
+ * DuckDB oracle can state the expected canonical form directly — the
+ * Spark side must genuinely canonicalize (lowercase scheme/host, strip
+ * fragment, drop default port, sort query params) to match.
+ */
+object UrlQueries {
+
+  /** q15: CanonicalizeUrl expression end-to-end (C10). */
+  def q15Canonicalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id",
+        concat(lit("HTTP://Host"), ($"doc_id" % 40).cast("string"),
+               lit(".Example.TEST:80/p/"), $"doc_id".cast("string"),
+               lit("/../q/"), $"doc_id".cast("string"),
+               lit("?b=2&a=1#frag")).as("raw_url"))
+      .withColumn("url_c", canonicalize_url($"raw_url"))
+      .withColumn("host", url_host($"url_c"))
+      .orderBy($"doc_id")
+  }
+
+  val q15Sql: String =
+    """SELECT doc_id,
+      | concat('HTTP://Host', doc_id % 40, '.Example.TEST:80/p/', doc_id, '/../q/', doc_id, '?b=2&a=1#frag') AS raw_url,
+      | concat('http://host', doc_id % 40, '.example.test/p/q/', doc_id, '?a=1&b=2') AS url_c,
+      | concat('host', doc_id % 40, '.example.test') AS host
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q16: ResolveUrl (urljoin, F3) + canonicalize across href families. */
+  def q16Resolve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hostN = ($"doc_id" % 40).cast("string")
+    val base = concat(lit("http://h"), hostN, lit(".example.test/a/b"))
+    val href = when($"doc_id" % 5 === 0, lit("/abs/path"))
+      .when($"doc_id" % 5 === 1, lit("rel/p2"))
+      .when($"doc_id" % 5 === 2, lit("?x=1"))
+      .when($"doc_id" % 5 === 3, lit("#frag"))
+      .otherwise(lit("http://Other.COM/q"))
+    documents(s, d)
+      .select($"doc_id", base.as("base"), href.as("href"))
+      .withColumn("resolved", canonicalize_url(resolve_url($"base", $"href")))
+      .orderBy($"doc_id")
+  }
+
+  val q16Sql: String =
+    """SELECT doc_id,
+      | concat('http://h', doc_id % 40, '.example.test/a/b') AS base,
+      | CASE doc_id % 5 WHEN 0 THEN '/abs/path' WHEN 1 THEN 'rel/p2'
+      |   WHEN 2 THEN '?x=1' WHEN 3 THEN '#frag' ELSE 'http://Other.COM/q' END AS href,
+      | CASE doc_id % 5
+      |  WHEN 0 THEN concat('http://h', doc_id % 40, '.example.test/abs/path')
+      |  WHEN 1 THEN concat('http://h', doc_id % 40, '.example.test/a/rel/p2')
+      |  WHEN 2 THEN concat('http://h', doc_id % 40, '.example.test/a/b?x=1')
+      |  WHEN 3 THEN concat('http://h', doc_id % 40, '.example.test/a/b')
+      |  ELSE 'http://other.com/q' END AS resolved
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q17: scheme whitelist filter (F1 — `crawler/crawler_node.py:315`). */
+  def q17SchemeFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val url = when($"doc_id" % 4 === 0, concat(lit("http://ex.test/p/"), $"doc_id".cast("string")))
+      .when($"doc_id" % 4 === 1, concat(lit("https://ex.test/p/"), $"doc_id".cast("string")))
+      .when($"doc_id" % 4 === 2, concat(lit("mailto:u"), $"doc_id".cast("string"), lit("@ex.test")))
+      .otherwise(concat(lit("javascript:void("), $"doc_id".cast("string"), lit(")")))
+    documents(s, d)
+      .select($"doc_id", url.as("url"))
+      .filter(is_http_url($"url"))
+      .orderBy($"doc_id")
+  }
+
+  val q17Sql: String =
+    """SELECT doc_id,
+      | CASE doc_id % 4
+      |  WHEN 0 THEN concat('http://ex.test/p/', doc_id)
+      |  WHEN 1 THEN concat('https://ex.test/p/', doc_id)
+      |  WHEN 2 THEN concat('mailto:u', doc_id, '@ex.test')
+      |  ELSE concat('javascript:void(', doc_id, ')') END AS url
+      |FROM documents WHERE doc_id % 4 IN (0, 1) ORDER BY doc_id""".stripMargin
+
+  /** q18: domain projection (F7: `indexer_node.py:89`) + per-domain counts. */
+  def q18DomainAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id",
+        concat(lit("https://WWW.Site"), ($"doc_id" % 7).cast("string"), lit(".ORG/path/x")).as("url"))
+      .withColumn("domain", url_host(canonicalize_url($"url")))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_pages"), min($"doc_id").as("first_doc"))
+      .orderBy($"domain")
+  }
+
+  val q18Sql: String =
+    """SELECT concat('www.site', doc_id % 7, '.org') AS domain,
+      | count(*) AS n_pages, min(doc_id) AS first_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+}

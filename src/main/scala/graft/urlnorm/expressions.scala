@@ -1,0 +1,101 @@
+package graft.urlnorm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the URL hot path (SURVEY.md §2.9/§4:
+ * canonicalization runs over every discovered link — 10^10-row scale —
+ * so it must stay inside whole-stage codegen, not a Scala UDF closure).
+ * Each generates a direct static call into [[UrlCanon]] (Scala objects
+ * expose static forwarders, so generated Java can call them).
+ */
+case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any = {
+    val r = UrlCanon.canonicalize(input.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.urlnorm.UrlCanon.canonicalize($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): CanonicalizeUrl =
+    copy(child = newChild)
+  override def prettyName: String = "canonicalize_url"
+}
+
+/** Host extraction over canonical URLs (F7/C2). */
+case class UrlHost(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any = {
+    val r = UrlCanon.host(input.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.urlnorm.UrlCanon.host($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): UrlHost =
+    copy(child = newChild)
+  override def prettyName: String = "url_host"
+}
+
+/** RFC 3986 reference resolution — urljoin (F3). Null when unresolvable. */
+case class ResolveUrl(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(base: Any, href: Any): Any = {
+    val r = UrlCanon.resolve(base.asInstanceOf[UTF8String].toString,
+                             href.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // resolve() may return null for non-null inputs — emit an explicit
+    // null check instead of defineCodeGen's non-null contract.
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val base = left.genCode(ctx)
+    val href = right.genCode(ctx)
+    val res = ctx.freshName("resolved")
+    ev.copy(code =
+      code"""
+         |${base.code}
+         |${href.code}
+         |boolean ${ev.isNull} = true;
+         |org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+         |if (!${base.isNull} && !${href.isNull}) {
+         |  String $res = graft.urlnorm.UrlCanon.resolve(${base.value}.toString(), ${href.value}.toString());
+         |  if ($res != null) {
+         |    ${ev.isNull} = false;
+         |    ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($res);
+         |  }
+         |}
+         |""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ResolveUrl =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "resolve_url"
+}
+
+/** Scheme whitelist predicate (F1). */
+case class IsHttpUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    UrlCanon.isHttpUrl(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.urlnorm.UrlCanon.isHttpUrl($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): IsHttpUrl =
+    copy(child = newChild)
+  override def prettyName: String = "is_http_url"
+}
+
+/** Column-level API for the URL expressions. */
+object urlfunctions {
+  def canonicalize_url(c: Column): Column = GraftBridge.column(CanonicalizeUrl(GraftBridge.expression(c)))
+  def url_host(c: Column): Column = GraftBridge.column(UrlHost(GraftBridge.expression(c)))
+  def resolve_url(base: Column, href: Column): Column =
+    GraftBridge.column(ResolveUrl(GraftBridge.expression(base), GraftBridge.expression(href)))
+  def is_http_url(c: Column): Column = GraftBridge.column(IsHttpUrl(GraftBridge.expression(c)))
+}
