@@ -34,6 +34,23 @@ object SparkEntry {
     "q16_resolve_url"    -> UrlQueries.q16Resolve _,
     "q17_scheme_filter"  -> UrlQueries.q17SchemeFilter _,
     "q18_domain_agg"     -> UrlQueries.q18DomainAgg _,
+    // text analysis (training-data ops)
+    "q13_token_freq"     -> TextQueries.q13TokenFreq _,
+    "q26_lang_id"        -> TextQueries.q26LangId _,
+    "q27_quality_score"  -> TextQueries.q27Quality _,
+    "q28_token_stats"    -> TextQueries.q28TokenStats _,
+    "q29_fingerprint"    -> TextQueries.q29Fingerprint _,
+    "q34_bm25_search"    -> TextQueries.q34Bm25 _,
+    // dedup (training-data ops)
+    "q20_dedup_exact"    -> DedupQueries.q20DedupExact _,
+    "q21_minhash_lsh"    -> DedupQueries.q21MinhashLsh _,
+    "q22_simhash"        -> DedupQueries.q22Simhash _,
+    "q23_ngram_jaccard"  -> DedupQueries.q23NgramJaccard _,
+    "q25_embed_nearest"  -> DedupQueries.q25EmbedNearest _,
+    // similarity search + multimodal
+    "q24_knn_cosine"     -> SimQueries.q24KnnCosine _,
+    "q36_multimodal_meta" -> SimQueries.q36MultimodalMeta _,
+    "q37_frame_sample"   -> SimQueries.q37FrameSample _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -56,5 +73,19 @@ object SparkEntry {
     "q16_resolve_url"    -> UrlQueries.q16Sql,
     "q17_scheme_filter"  -> UrlQueries.q17Sql,
     "q18_domain_agg"     -> UrlQueries.q18Sql,
+    "q13_token_freq"     -> TextQueries.q13Sql,
+    "q26_lang_id"        -> TextQueries.q26Sql,
+    "q27_quality_score"  -> TextQueries.q27Sql,
+    "q28_token_stats"    -> TextQueries.q28Sql,
+    "q29_fingerprint"    -> TextQueries.q29Sql,
+    "q34_bm25_search"    -> TextQueries.q34Sql,
+    "q20_dedup_exact"    -> DedupQueries.q20Sql,
+    "q21_minhash_lsh"    -> DedupQueries.q21Sql,
+    "q22_simhash"        -> DedupQueries.q22Sql,
+    "q23_ngram_jaccard"  -> DedupQueries.q23Sql,
+    "q25_embed_nearest"  -> DedupQueries.q25Sql,
+    "q24_knn_cosine"     -> SimQueries.q24Sql,
+    "q36_multimodal_meta" -> SimQueries.q36Sql,
+    "q37_frame_sample"   -> SimQueries.q37Sql,
   )
 }

