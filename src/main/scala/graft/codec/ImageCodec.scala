@@ -1,0 +1,280 @@
+package graft.codec
+
+/**
+ * Deterministic in-repo image codecs for the crawl payload
+ * (BASELINE.json input_hint: image bytes must satisfy a decoded-pixel
+ * invariant — bitwise equality for lossless, PSNR >= 40 dB for lossy).
+ *
+ * Two formats over 8-bit grayscale pixels:
+ *  - "rawg8": header + raw pixels, lossless (bitwise invariant).
+ *  - "qdct":  8x8 block DCT, uniform quantization (step 6), int16
+ *    coefficients. All floating-point runs in fixed evaluation order on
+ *    strict JVM FP semantics, so encode/decode is bit-deterministic
+ *    across JVMs — no ImageIO variance (SURVEY.md §7 "what's hard").
+ *
+ * The reference stores payload bytes opaquely in S3
+ * (`crawler/crawler_node.py:246-284`); the codecs exist so the graft's
+ * PSNR/phash invariants are testable without external image libraries.
+ */
+object ImageCodec {
+
+  val FmtRaw = "rawg8"
+  val FmtQdct = "qdct"
+  private val QStep = 6.0
+
+  // ---- container: [magic(2) | w(4) | h(4) | payload] big-endian ----
+
+  private def header(magic: Int, w: Int, h: Int, payloadLen: Int): Array[Byte] = {
+    val out = new Array[Byte](10 + payloadLen)
+    out(0) = ((magic >> 8) & 0xff).toByte
+    out(1) = (magic & 0xff).toByte
+    writeInt(out, 2, w); writeInt(out, 6, h)
+    out
+  }
+  private def writeInt(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = (v >> 24).toByte; a(off + 1) = (v >> 16).toByte
+    a(off + 2) = (v >> 8).toByte; a(off + 3) = v.toByte
+  }
+  private def readInt(a: Array[Byte], off: Int): Int =
+    ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) | ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
+
+  def width(bytes: Array[Byte]): Int = readInt(bytes, 2)
+  def height(bytes: Array[Byte]): Int = readInt(bytes, 6)
+  def format(bytes: Array[Byte]): String =
+    if (bytes.length < 2) "unknown"
+    else if (bytes(0) == 'G' && bytes(1) == '8') FmtRaw
+    else if (bytes(0) == 'Q' && bytes(1) == 'D') FmtQdct
+    else "unknown"
+
+  // ---- rawg8 (lossless) ----
+
+  def encodeRaw(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h)
+    val out = header('G' << 8 | '8', w, h, pixels.length)
+    System.arraycopy(pixels, 0, out, 10, pixels.length)
+    out
+  }
+
+  // ---- qdct (lossy, PSNR >= 40 dB by construction) ----
+
+  def encodeQdct(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h)
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val coeffs = new Array[Short](bw * bh * 64)
+    val block = new Array[Double](64)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var i = 0
+        while (i < 64) {
+          val x = bx * 8 + i % 8
+          val y = by * 8 + i / 8
+          // edge padding: clamp to last row/col (deterministic)
+          val px = math.min(x, w - 1)
+          val py = math.min(y, h - 1)
+          block(i) = (pixels(py * w + px) & 0xff).toDouble - 128.0
+          i += 1
+        }
+        val d = dct8x8(block)
+        var j = 0
+        while (j < 64) {
+          coeffs((by * bw + bx) * 64 + j) = math.round(d(j) / QStep).toShort
+          j += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val out = header('Q' << 8 | 'D', w, h, coeffs.length * 2)
+    var k = 0
+    while (k < coeffs.length) {
+      out(10 + 2 * k) = (coeffs(k) >> 8).toByte
+      out(10 + 2 * k + 1) = coeffs(k).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Decode either format to (pixels, w, h). */
+  def decode(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    val w = width(bytes); val h = height(bytes)
+    format(bytes) match {
+      case FmtRaw =>
+        val px = new Array[Byte](w * h)
+        System.arraycopy(bytes, 10, px, 0, w * h)
+        (px, w, h)
+      case FmtQdct =>
+        val bw = (w + 7) / 8
+        val bh = (h + 7) / 8
+        val px = new Array[Byte](w * h)
+        val block = new Array[Double](64)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            var j = 0
+            while (j < 64) {
+              val off = 10 + ((by * bw + bx) * 64 + j) * 2
+              val c = ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+              block(j) = c * QStep
+              j += 1
+            }
+            val sp = idct8x8(block)
+            var i = 0
+            while (i < 64) {
+              val x = bx * 8 + i % 8
+              val y = by * 8 + i / 8
+              if (x < w && y < h) {
+                val v = math.round(sp(i) + 128.0)
+                px(y * w + x) = math.max(0L, math.min(255L, v)).toByte
+              }
+              i += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        (px, w, h)
+      case other => throw new IllegalArgumentException(s"unknown image format: $other")
+    }
+  }
+
+  /** PSNR in dB between two same-size pixel arrays; infinity if equal. */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length == b.length)
+    var se = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = ((a(i) & 0xff) - (b(i) & 0xff)).toDouble
+      se += d * d
+      i += 1
+    }
+    if (se == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 * a.length / se)
+  }
+
+  /** 64-bit perceptual hash: average-pool to 32x32, 8x8 DCT low band,
+    * bit i = coefficient above the band median (DC excluded). */
+  def phash64(pixels: Array[Byte], w: Int, h: Int): Long = {
+    // average-pool to 32x32 with integer sums (deterministic)
+    val g = new Array[Double](32 * 32)
+    var gy = 0
+    while (gy < 32) {
+      var gx = 0
+      while (gx < 32) {
+        val x0 = gx * w / 32; val x1 = math.max((gx + 1) * w / 32, x0 + 1)
+        val y0 = gy * h / 32; val y1 = math.max((gy + 1) * h / 32, y0 + 1)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            if (x < w && y < h) { sum += (pixels(y * w + x) & 0xff); n += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        g(gy * 32 + gx) = if (n == 0) 0.0 else sum.toDouble / n
+        gx += 1
+      }
+      gy += 1
+    }
+    // 2D DCT-II over the 32x32 grid; take the 8x8 low-frequency corner
+    val low = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            s += g(y * 32 + x) *
+              math.cos((2 * x + 1) * u * math.Pi / 64.0) *
+              math.cos((2 * y + 1) * v * math.Pi / 64.0)
+            x += 1
+          }
+          y += 1
+        }
+        low(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = low.drop(1)
+    val sorted = ac.sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var bits = 0L
+    var i = 0
+    while (i < 63) {
+      if (ac(i) > median) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  // ---- 8x8 DCT-II / DCT-III (naive, fixed order => deterministic) ----
+
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](8 * 8)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) { t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0); u += 1 }
+      x += 1
+    }
+    t
+  }
+  private def alpha(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+  def dct8x8(sp: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += sp(y * 8 + x) * CosTable(x * 8 + u) * CosTable(y * 8 + v)
+            x += 1
+          }
+          y += 1
+        }
+        out(v * 8 + u) = 0.25 * alpha(u) * alpha(v) * s
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  def idct8x8(fq: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            s += alpha(u) * alpha(v) * fq(v * 8 + u) * CosTable(x * 8 + u) * CosTable(y * 8 + v)
+            u += 1
+          }
+          v += 1
+        }
+        out(y * 8 + x) = 0.25 * s
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}

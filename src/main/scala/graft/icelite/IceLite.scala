@@ -1,0 +1,132 @@
+package graft.icelite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * IceLite: a minimal Iceberg-style multi-table snapshot layer (no
+ * Iceberg runtime jar exists in this sandbox — SURVEY.md §7). It
+ * provides exactly the properties the north rule uses:
+ *
+ *  - **atomic multi-table commit**: one commit writes deltas for any
+ *    number of tables; a single atomic pointer swap (`_head`, via
+ *    ATOMIC_MOVE rename) publishes all of them or none. A crash mid-
+ *    commit leaves orphan data dirs that no manifest references —
+ *    invisible to readers (the reference's 30s/60s JSON checkpoint
+ *    dumps, `archive/master_node.py:91-101`, made transactional).
+ *  - **snapshot ids + time travel**: `read(table, snapshotId)` sees the
+ *    table exactly as of that commit; `resume` = read head.
+ *  - **commit metadata**: per-commit key/values (wave number, metrics
+ *    summary, lineage pointers) travel in the manifest.
+ *
+ * Layout:
+ * {{{
+ *   root/meta/_head                  <- current snapshot id (atomic swap)
+ *   root/meta/snap-<id>.manifest     <- TSV: table -> list of data dirs
+ *   root/<table>/d<id>/              <- parquet delta written by commit <id>
+ * }}}
+ *
+ * Tables are append-only (deltas union at read); the crawl pipeline's
+ * tables are all logs (frontier, fetchlog, images, metrics, lineage),
+ * so no merge-on-read is needed. At real scale the data dirs would be
+ * bucketed by key hash so the frontier/fetchlog anti-join is
+ * co-partitioned; manifests would carry file-level stats for pruning.
+ */
+class IceLite(val root: String) {
+  private val metaDir = Paths.get(root, "meta")
+
+  case class Manifest(id: Long, parent: Long, meta: Map[String, String],
+                      tables: Map[String, Seq[String]])
+
+  private def headPath: Path = metaDir.resolve("_head")
+  private def manifestPath(id: Long): Path = metaDir.resolve(s"snap-$id.manifest")
+
+  def currentSnapshotId: Option[Long] =
+    if (Files.exists(headPath))
+      Some(new String(Files.readAllBytes(headPath), StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  def manifest(id: Long): Manifest = {
+    val lines = Files.readAllLines(manifestPath(id), StandardCharsets.UTF_8).asScala
+    var parent = -1L
+    val meta = scala.collection.mutable.Map[String, String]()
+    val tables = scala.collection.mutable.Map[String, Vector[String]]()
+    lines.foreach { l =>
+      l.split("\t", -1).toList match {
+        case "parent" :: p :: Nil        => parent = p.toLong
+        case "meta" :: k :: v :: Nil     => meta(k) = v
+        case "table" :: name :: dir :: Nil =>
+          tables(name) = tables.getOrElse(name, Vector.empty) :+ dir
+        case _ => ()
+      }
+    }
+    Manifest(id, parent, meta.toMap, tables.toMap)
+  }
+
+  /** Atomically commit deltas for several tables as one snapshot. */
+  def commit(deltas: Seq[(String, DataFrame)], meta: Map[String, String] = Map.empty): Long = {
+    Files.createDirectories(metaDir)
+    val parent = currentSnapshotId
+    val id = parent.getOrElse(0L) + 1L
+    val prev: Map[String, Seq[String]] =
+      parent.map(p => manifest(p).tables).getOrElse(Map.empty)
+
+    val newDirs = deltas.map { case (table, df) =>
+      val dir = Paths.get(root, table, s"d$id").toString
+      df.write.mode("overwrite").parquet(dir)
+      table -> dir
+    }
+    val merged = newDirs.foldLeft(prev) { case (acc, (t, dir)) =>
+      acc + (t -> (acc.getOrElse(t, Seq.empty) :+ dir))
+    }
+
+    val sb = new StringBuilder
+    sb.append(s"parent\t${parent.getOrElse(-1L)}\n")
+    meta.foreach { case (k, v) =>
+      sb.append(s"meta\t$k\t${v.replace("\t", " ").replace("\n", " ")}\n")
+    }
+    merged.toSeq.sortBy(_._1).foreach { case (t, dirs) =>
+      dirs.foreach(d => sb.append(s"table\t$t\t$d\n"))
+    }
+    val tmp = metaDir.resolve(s".snap-$id.tmp")
+    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(id), StandardCopyOption.ATOMIC_MOVE)
+
+    val headTmp = metaDir.resolve(".head.tmp")
+    Files.write(headTmp, id.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(headTmp, headPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    id
+  }
+
+  /** Read a table as of a snapshot (default: head). Empty-with-schema if
+    * the table has no data at that snapshot. */
+  def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None,
+           emptySchema: Option[StructType] = None): DataFrame = {
+    val snap = snapshotId.orElse(currentSnapshotId)
+    val dirs = snap.map(manifest(_).tables.getOrElse(table, Seq.empty)).getOrElse(Seq.empty)
+    if (dirs.isEmpty) {
+      val schema = emptySchema.getOrElse(
+        throw new IllegalArgumentException(s"table $table absent at snapshot $snap and no schema given"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(dirs: _*)
+  }
+
+  def commitMeta(snapshotId: Long): Map[String, String] = manifest(snapshotId).meta
+
+  /** All snapshot ids from head back to the first commit. */
+  def history: Seq[Long] = {
+    val b = Vector.newBuilder[Long]
+    var cur = currentSnapshotId
+    while (cur.exists(_ > 0)) {
+      val id = cur.get
+      b += id
+      val p = manifest(id).parent
+      cur = if (p > 0) Some(p) else None
+    }
+    b.result()
+  }
+}

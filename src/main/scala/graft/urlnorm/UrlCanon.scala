@@ -197,6 +197,22 @@ object UrlCanon {
   private def hexVal(c: Char): Int =
     if (c <= '9') c - '0' else if (c <= 'F') c - 'A' + 10 else c - 'a' + 10
 
+  /** Path component (incl. leading '/') of a URL; "/" when absent.
+    * Query/fragment excluded — robots Disallow prefixes match paths. */
+  def pathOf(url: String): String = {
+    if (url == null) return "/"
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd <= 0) return "/"
+    val rest = url.substring(schemeEnd + 3)
+    val slash = rest.indexOf('/')
+    if (slash < 0) return "/"
+    val p = rest.substring(slash)
+    val cut = math.min(
+      { val q = p.indexOf('?'); if (q >= 0) q else p.length },
+      { val h = p.indexOf('#'); if (h >= 0) h else p.length })
+    p.substring(0, cut)
+  }
+
   /** Scheme whitelist F1 (`crawler/crawler_node.py:315`). */
   def isHttpUrl(url: String): Boolean =
     url != null && {

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.ImageCodec
+import graft.corpus.SyntheticWeb
+
+class CodecSpec extends AnyFunSuite {
+
+  test("rawg8 roundtrip is bitwise lossless") {
+    val px = SyntheticWeb.pixelsFor(42L, 1L, 32, 48)
+    val enc = ImageCodec.encodeRaw(px, 32, 48)
+    val (dec, w, h) = ImageCodec.decode(enc)
+    assert(w == 32 && h == 48)
+    assert(dec.sameElements(px))
+    assert(ImageCodec.format(enc) == ImageCodec.FmtRaw)
+    assert(ImageCodec.psnr(px, dec).isPosInfinity)
+  }
+
+  test("qdct roundtrip meets the PSNR >= 40 dB invariant") {
+    for (i <- 0 until 20) {
+      val (w, h) = (Seq(16, 32, 64)(i % 3), Seq(16, 32, 48)(i % 3))
+      val px = SyntheticWeb.pixelsFor(42L, 100L + i, w, h)
+      val enc = ImageCodec.encodeQdct(px, w, h)
+      val (dec, dw, dh) = ImageCodec.decode(enc)
+      assert(dw == w && dh == h)
+      val p = ImageCodec.psnr(px, dec)
+      assert(p >= 40.0, s"image $i psnr=$p")
+      assert(ImageCodec.format(enc) == ImageCodec.FmtQdct)
+    }
+  }
+
+  test("decode is deterministic (bit-identical across calls)") {
+    val px = SyntheticWeb.pixelsFor(7L, 5L, 64, 48)
+    val enc = ImageCodec.encodeQdct(px, 64, 48)
+    val a = ImageCodec.decode(enc)._1
+    val b = ImageCodec.decode(enc)._1
+    assert(a.sameElements(b))
+  }
+
+  test("phash: stable for same pixels, differs across images, robust to qdct loss") {
+    val a = SyntheticWeb.pixelsFor(42L, 1L, 64, 48)
+    val b = SyntheticWeb.pixelsFor(42L, 2L, 64, 48)
+    val ha = ImageCodec.phash64(a, 64, 48)
+    assert(ha == ImageCodec.phash64(a, 64, 48))
+    assert(ha != ImageCodec.phash64(b, 64, 48))
+    // lossy roundtrip stays inside the near-dup band (<=10 of 63 bits;
+    // unrelated images average ~32), measured max 8 on the noisy corpus
+    val (dec, _, _) = ImageCodec.decode(ImageCodec.encodeQdct(a, 64, 48))
+    val hd = ImageCodec.phash64(dec, 64, 48)
+    assert(java.lang.Long.bitCount(ha ^ hd) <= 10,
+      s"hamming=${java.lang.Long.bitCount(ha ^ hd)}")
+    assert(java.lang.Long.bitCount(ha ^ ImageCodec.phash64(b, 64, 48)) > 10,
+      "unrelated images should not look like near-dups")
+  }
+
+  test("corrupted payload is detected by the PSNR invariant") {
+    val px = SyntheticWeb.pixelsFor(42L, 9L, 32, 32)
+    val bad = px.clone()
+    for (i <- bad.indices by 3) bad(i) = (bad(i) + 64).toByte
+    assert(ImageCodec.psnr(px, bad) < 40.0)
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.corpus.SyntheticWeb
+import graft.fetch.{Fetcher, SyntheticFetcher}
+import graft.icelite.IceLite
+import graft.pipeline.{CrawlConfig, CrawlPipeline}
+import graft.urlnorm.UrlCanon
+
+/**
+ * The E2E gate (SURVEY.md §5): Spark pipeline vs the sequential oracle —
+ * exact frontier (depth, seq, parent) equality, exact fetchlog equality,
+ * politeness budgets respected, robots never violated, payload
+ * invariants hold, resume-from-snapshot equivalence, and v1 FIFO/BFS
+ * order parity when politeness is unconstrained.
+ */
+class CrawlParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val web = SyntheticWeb.generate(seed = 42L, nHosts = 12, nPages = 150)
+  private val conf = CrawlConfig(waveSeconds = 10.0, nPartitions = 8,
+    hostSaltTarget = 4, bloomExpectedSeen = 10000)
+
+  private def newPipeline(root: String, c: CrawlConfig = conf): CrawlPipeline = {
+    val fetcher: Fetcher = SyntheticFetcher.forWeb(web)
+    new CrawlPipeline(spark, new IceLite(root),
+      spark.sparkContext.broadcast(fetcher), web.robots, c)
+  }
+
+  private lazy val (store, oracle) = {
+    val root = Files.createTempDirectory("crawl").toString
+    val p = newPipeline(root)
+    p.init(web.seeds)
+    p.run(maxWaves = 60)
+    (new IceLite(root), CrawlOracle.run(web, conf.waveSeconds, conf.defaultDelay, 60))
+  }
+
+  test("frontier matches the oracle exactly: url -> (depth, seq, parent, wave)") {
+    val got = store.read(spark, "frontier")
+      .select($"url", $"depth", $"seq", $"parent", $"wave")
+      .as[(String, Int, Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val want = oracle.frontier.map { case (u, e) => u -> ((e.depth, e.seq.toLong, e.parent, e.wave)) }
+    assert(got.size == want.size, s"frontier sizes: got ${got.size} want ${want.size}")
+    val diffs = want.collect { case (u, w) if got.get(u) != Some(w) => (u, got.get(u), w) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+
+  test("fetchlog matches the oracle exactly: url -> (wave, status, success)") {
+    val got = store.read(spark, "fetchlog")
+      .select($"url", $"wave", $"status", $"success")
+      .as[(String, Int, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = oracle.fetches.map { case (u, f) => u -> ((f.wave, f.status, f.success)) }
+    assert(got.size == want.size, s"fetchlog sizes: got ${got.size} want ${want.size}")
+    val diffs = want.collect { case (u, w) if got.get(u) != Some(w) => (u, got.get(u), w) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+
+  test("politeness: per (wave, host) fetch count never exceeds the budget") {
+    val robotsByHost = web.robots.map(r => r.host -> r).toMap
+    val counts = store.read(spark, "fetchlog")
+      .filter($"status" =!= -1) // robots-denied rows are not fetches
+      .groupBy($"wave", $"host").agg(count(lit(1)).as("n"))
+      .as[(Int, String, Long)].collect()
+    counts.foreach { case (w, h, n) =>
+      val delay = robotsByHost.get(h).map(_.crawlDelay).getOrElse(conf.defaultDelay)
+      val budget = math.max(1L, math.floor(conf.waveSeconds / delay).toLong)
+      assert(n <= budget, s"wave $w host $h fetched $n > budget $budget")
+    }
+  }
+
+  test("robots compliance: disallowed URLs are never fetched, with audit rows") {
+    val robotsByHost = web.robots.map(r => r.host -> r).toMap
+    val log = store.read(spark, "fetchlog")
+      .select($"url", $"host", $"status").as[(String, String, Int)].collect()
+    log.foreach { case (u, h, status) =>
+      val disallowed = robotsByHost.get(h).exists(_.disallowPrefixes
+        .exists(p => UrlCanon.pathOf(u).startsWith(p)))
+      if (disallowed) assert(status == -1, s"$u fetched despite robots")
+      else assert(status != -1, s"$u denied despite being allowed")
+    }
+    // the fully-blocked host produced only denied rows and zero images
+    val blocked = SyntheticWeb.hostName(2)
+    assert(store.read(spark, "images").where($"url".contains(blocked)).count() == 0)
+  }
+
+  test("payload invariant: PSNR >= 40 dB (lossy) / lossless exact, captions equal") {
+    val rows = store.read(spark, "fetchlog")
+      .filter($"success")
+      .select($"psnr", $"captionOk", $"fmt").as[(Double, Boolean, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, cap, fmt) =>
+      assert(cap, "caption mismatch")
+      if (fmt == "rawg8") assert(p.isPosInfinity, s"lossless payload not exact (psnr=$p)")
+      else assert(p >= 40.0, s"qdct psnr=$p")
+    }
+  }
+
+  test("images table: content-addressed ids, phash matches the corpus within 4 bits") {
+    val corpusPhash = web.images.map(i => i.image_id -> i.phash).toMap
+    val rows = store.read(spark, "images")
+      .select($"image_id", $"url", $"phash").as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, url, ph) =>
+      assert(id == SyntheticWeb.imageIdOf(url))
+      val want = corpusPhash(id)
+      assert(java.lang.Long.bitCount(ph ^ want) <= 10,
+        s"phash drift for $url: ${java.lang.Long.bitCount(ph ^ want)} bits")
+    }
+  }
+
+  test("lineage + metrics are committed per wave with partition attribution") {
+    val lineage = store.read(spark, "lineage")
+    assert(lineage.where($"stage" === "fetch").count() > 0)
+    val metrics = store.read(spark, "metrics")
+    val logged = store.read(spark, "fetchlog").filter($"status" =!= -1).count()
+    val counted = metrics.agg(sum($"fetched") + sum($"failed")).as[Long].head()
+    assert(counted == logged, s"metrics count $counted != fetchlog $logged")
+  }
+
+  test("resume-from-snapshot: killing after 2 waves and resuming is equivalent") {
+    val rootA = Files.createTempDirectory("crawlA").toString
+    val pA = newPipeline(rootA)
+    pA.init(web.seeds)
+    pA.runWave(1); pA.runWave(2)
+    // "crash": drop the pipeline; resume from the committed head only
+    val pResumed = newPipeline(rootA)
+    pResumed.run(maxWaves = 60)
+
+    val a = new IceLite(rootA)
+    def key(s: IceLite) = s.read(spark, "frontier")
+      .select($"url", $"depth", $"seq", $"wave").as[(String, Int, Long, Int)]
+      .collect().toSet
+    assert(key(a) == store.read(spark, "frontier")
+      .select($"url", $"depth", $"seq", $"wave").as[(String, Int, Long, Int)]
+      .collect().toSet)
+    def flog(s: IceLite) = s.read(spark, "fetchlog")
+      .select($"url", $"wave", $"status").as[(String, Int, Int)].collect().toSet
+    assert(flog(a) == flog(store))
+  }
+
+  test("v1 FIFO/BFS parity: with unconstrained politeness, seq order == FIFO order") {
+    val root = Files.createTempDirectory("crawlF").toString
+    val fast = CrawlConfig(waveSeconds = 1e9, nPartitions = 8,
+      hostSaltTarget = 4, bloomExpectedSeen = 10000)
+    // strip robots so the FIFO oracle (which has none) is comparable
+    val fetcher: Fetcher = SyntheticFetcher.forWeb(web)
+    val p = new CrawlPipeline(spark, new IceLite(root),
+      spark.sparkContext.broadcast(fetcher), robots = Seq.empty, fast)
+    p.init(web.seeds)
+    p.run(maxWaves = 60)
+    val got = new IceLite(root).read(spark, "frontier")
+      .orderBy($"seq").select($"url").as[String].collect().toVector
+    val want = CrawlOracle.fifoOrder(web)
+    assert(got == want, s"first divergence at ${got.zip(want).indexWhere(t => t._1 != t._2)}")
+  }
+}
