@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.urlnorm.{CanonicalizeUrl, IsHttpUrl, ResolveUrl, UrlHost}
+
+/**
+ * Session extension registering the graft SQL surface, so the URL
+ * expressions are usable from `spark.sql(...)` as well as the Column
+ * API:
+ *
+ * {{{
+ *   SparkSession.builder().withExtensions(new GraftExtensions)...
+ *   spark.sql("SELECT canonicalize_url(url), url_host(url) FROM links")
+ * }}}
+ *
+ * (SURVEY.md §2.9 — custom scalar expressions; also injectable via
+ * `spark.sql.extensions=graft.GraftExtensions` on spark-submit.)
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CanonicalizeUrl].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("canonicalize_url"),
+      info("canonicalize_url", "canonicalize_url(url) - RFC 3986 canonical form"),
+      (args: Seq[Expression]) => CanonicalizeUrl(args.head)))
+    ext.injectFunction((FunctionIdentifier("url_host"),
+      info("url_host", "url_host(url) - lowercased host component"),
+      (args: Seq[Expression]) => UrlHost(args.head)))
+    ext.injectFunction((FunctionIdentifier("resolve_url"),
+      info("resolve_url", "resolve_url(base, href) - RFC 3986 reference resolution"),
+      (args: Seq[Expression]) => ResolveUrl(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("is_http_url"),
+      info("is_http_url", "is_http_url(url) - http(s) scheme whitelist"),
+      (args: Seq[Expression]) => IsHttpUrl(args.head)))
+  }
+}

@@ -19,7 +19,7 @@ import graft.fetch.{FetchedPage, Fetcher}
 case class BenchWeb(seed: Long, nHosts: Int, nPages: Int) {
   def hostOf(i: Int): Int = if (i % 5 == 0) 0 else i % nHosts
   def urlOf(i: Int): String = s"http://h${hostOf(i)}.example.test/p/$i"
-  def seeds: Seq[String] = (0 until math.min(32, nPages)).map(urlOf)
+  def seeds: Seq[String] = (0 until math.min(4096, nPages)).map(urlOf)
 }
 
 class BenchFetcher(web: BenchWeb) extends Fetcher {
@@ -31,14 +31,14 @@ class BenchFetcher(web: BenchWeb) extends Fetcher {
     val r0 = SyntheticWeb.draw(web.seed, 500000L + i, 0)
     if ((r0 & 63) == 0) return FetchedPage(500, null, null, Seq.empty, null, null)
 
-    val px = SyntheticWeb.pixelsFor(web.seed, 600000L + i, 32, 32)
+    val px = SyntheticWeb.pixelsFor(web.seed, 600000L + i, 160, 128)
     val lossy = (i & 1) == 1
-    val bytes = if (lossy) ImageCodec.encodeQdct(px, 32, 32) else ImageCodec.encodeRaw(px, 32, 32)
+    val bytes = if (lossy) ImageCodec.encodeQdct(px, 160, 128) else ImageCodec.encodeRaw(px, 160, 128)
     val nWords = 5 + (SyntheticWeb.draw(web.seed, 500000L + i, 1) & 15).toInt
     val caption = (0 until nWords)
       .map(j => SyntheticWeb.Vocab(((SyntheticWeb.draw(web.seed, 500000L + i, 2 + j) >>> 1)
         % SyntheticWeb.Vocab.size).toInt)).mkString(" ")
-    val nLinks = 6 + (SyntheticWeb.draw(web.seed, 500000L + i, 20) & 7).toInt
+    val nLinks = 12 + (SyntheticWeb.draw(web.seed, 500000L + i, 20) & 7).toInt
     val links = (0 until nLinks).map { j =>
       val t = ((SyntheticWeb.draw(web.seed, 500000L + i, 30 + j) >>> 1) % web.nPages).toInt
       web.urlOf(t)

@@ -181,24 +181,30 @@ object ImageCodec {
       }
       gy += 1
     }
-    // 2D DCT-II over the 32x32 grid; take the 8x8 low-frequency corner
+    // 2D DCT-II over the 32x32 grid; take the 8x8 low-frequency corner.
+    // Separable: rows then columns — 32x cheaper than the naive quad loop,
+    // same fixed evaluation order (deterministic).
+    val rows = new Array[Double](32 * 8) // rows(y*8+u) = sum_x g(y,x) cos32(x,u)
+    var y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += g(y * 32 + x) * Cos32(x * 8 + u); x += 1 }
+        rows(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
     val low = new Array[Double](64)
     var v = 0
     while (v < 8) {
       var u = 0
       while (u < 8) {
         var s = 0.0
-        var y = 0
-        while (y < 32) {
-          var x = 0
-          while (x < 32) {
-            s += g(y * 32 + x) *
-              math.cos((2 * x + 1) * u * math.Pi / 64.0) *
-              math.cos((2 * y + 1) * v * math.Pi / 64.0)
-            x += 1
-          }
-          y += 1
-        }
+        var yy = 0
+        while (yy < 32) { s += rows(yy * 8 + u) * Cos32(yy * 8 + v); yy += 1 }
         low(v * 8 + u) = s
         u += 1
       }
@@ -217,6 +223,18 @@ object ImageCodec {
   }
 
   // ---- 8x8 DCT-II / DCT-III (naive, fixed order => deterministic) ----
+
+  // phash DCT basis: cos((2x+1) u pi / 64) for x in [0,32), u in [0,8)
+  private val Cos32: Array[Double] = {
+    val t = new Array[Double](32 * 8)
+    var x = 0
+    while (x < 32) {
+      var u = 0
+      while (u < 8) { t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 64.0); u += 1 }
+      x += 1
+    }
+    t
+  }
 
   private val CosTable: Array[Double] = {
     val t = new Array[Double](8 * 8)

@@ -66,20 +66,46 @@ class IceLite(val root: String) {
     Manifest(id, parent, meta.toMap, tables.toMap)
   }
 
-  /** Atomically commit deltas for several tables as one snapshot. */
-  def commit(deltas: Seq[(String, DataFrame)], meta: Map[String, String] = Map.empty): Long = {
+  /** Pre-write a delta outside any snapshot (invisible until a commit
+    * references the returned dir). Lets a pipeline materialize one
+    * physical copy of large payloads and commit it without rewriting —
+    * Iceberg's write-then-commit file lifecycle. */
+  def stage(table: String, df: DataFrame): String = {
+    val dir = Paths.get(root, table,
+      s"s${java.util.UUID.randomUUID().toString.take(12)}").toString
+    df.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Atomically commit deltas for several tables as one snapshot.
+    * `staged` entries are dirs previously written via [[stage]]. */
+  def commit(deltas: Seq[(String, DataFrame)], meta: Map[String, String] = Map.empty,
+             staged: Seq[(String, String)] = Seq.empty): Long = {
     Files.createDirectories(metaDir)
     val parent = currentSnapshotId
     val id = parent.getOrElse(0L) + 1L
     val prev: Map[String, Seq[String]] =
       parent.map(p => manifest(p).tables).getOrElse(Map.empty)
 
-    val newDirs = deltas.map { case (table, df) =>
-      val dir = Paths.get(root, table, s"d$id").toString
-      df.write.mode("overwrite").parquet(dir)
-      table -> dir
+    // Write all table deltas concurrently (independent Spark jobs from
+    // driver threads) — commit wall time = slowest write, not the sum.
+    // Atomicity is unaffected: nothing is visible until the head swap.
+    val newDirs = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.traverse(deltas) { case (table, df) =>
+        Future {
+          val t0 = System.nanoTime()
+          val dir = Paths.get(root, table, s"d$id").toString
+          df.write.mode("overwrite").parquet(dir)
+          if (sys.env.get("SPARK_GRAFT_TRACE").contains("1"))
+            System.err.println(f"[icelite-trace] write $table: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          table -> dir
+        }
+      }, Duration.Inf)
     }
-    val merged = newDirs.foldLeft(prev) { case (acc, (t, dir)) =>
+    val merged = (newDirs ++ staged).foldLeft(prev) { case (acc, (t, dir)) =>
       acc + (t -> (acc.getOrElse(t, Seq.empty) :+ dir))
     }
 

@@ -59,9 +59,11 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
   import spark.implicits._
 
   private val frontierSchema = Encoders.product[FrontierEntry].schema
-  // fetchlog = FetchOut minus the payload columns (bytes live in `images`)
+  // fetchlog = FetchOut minus the payload columns (bytes, caption and the
+  // link array live only in `images`, the staged fetch table)
   private val fetchlogSchema = org.apache.spark.sql.types.StructType(
-    Encoders.product[FetchOut].schema.filterNot(f => f.name == "bytes" || f.name == "caption"))
+    Encoders.product[FetchOut].schema.filterNot(f =>
+      f.name == "bytes" || f.name == "caption" || f.name == "outLinks"))
 
   // ---------- seeding ----------
 
@@ -75,8 +77,12 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     val entries = firstSeen.toSeq.zipWithIndex.map { case (u, i) =>
       FrontierEntry(u, UrlCanon.host(u), depth = 0, seq = i + 1L, parent = "", wave = 0)
     }
-    store.commit(Seq("frontier" -> entries.toDF()),
+    val id = store.commit(Seq("frontier" -> entries.toDF()),
       Map("wave" -> "0", "seeds" -> entries.size.toString))
+    // drop any state cached before seeding
+    maxSeqCache = None; loggedCache = None; seenBloom = None
+    frontierState = None; flogKeysState = None
+    id
   }
 
   // ---------- state reads ----------
@@ -87,7 +93,7 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     store.read(spark, "fetchlog", snap, Some(fetchlogSchema))
 
   def pending(): DataFrame =
-    frontier().join(fetchlog().select($"url").distinct(), Seq("url"), "left_anti")
+    frontierDf.join(flogKeys, Seq("url"), "left_anti")
 
   private def robotsDf: DataFrame =
     robots.map(r => (r.host, r.disallowPrefixes, r.crawlDelay))
@@ -95,10 +101,39 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
 
   // ---------- one wave ----------
 
+  // Driver-held wave-to-wave state (performance only — resume recomputes
+  // everything from the committed tables, so crashes can't corrupt it):
+  // frontier size == max seq (seq is dense), finalized-count, seen-Bloom,
+  // and incrementally-unioned checkpoint DataFrames of the frontier and
+  // the finalized-url keys (re-reading the growing parquet logs every
+  // wave costs O(waves) listing+scan jobs; the union of materialized
+  // checkpoints costs none). Union depth grows one per wave — fine for
+  // O(100) waves; a long-running crawl would re-checkpoint periodically.
+  private var maxSeqCache: Option[Long] = None
+  private var loggedCache: Option[Long] = None
+  private var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+  private var frontierState: Option[DataFrame] = None
+  private var flogKeysState: Option[DataFrame] = None
+
+  private def frontierDf: DataFrame = frontierState.getOrElse {
+    val df = store.read(spark, "frontier", None, Some(frontierSchema)).localCheckpoint()
+    frontierState = Some(df); df
+  }
+  private def flogKeys: DataFrame = flogKeysState.getOrElse {
+    val df = fetchlog().select($"url").localCheckpoint()
+    flogKeysState = Some(df); df
+  }
+
   /** Runs wave `wave`; returns number of URLs fetched (0 = frontier drained). */
   def runWave(wave: Int): Long = {
+    var t = System.nanoTime()
+    val front0 = frontierDf
+    val maxSeq = maxSeqCache.getOrElse(front0.agg(max($"seq")).as[Long].head())
+    maxSeqCache = Some(maxSeq)
+    val logged = loggedCache.getOrElse(flogKeys.count())
+    loggedCache = Some(logged)
+    if (logged >= maxSeq) return 0L // every enqueued URL is finalized
     val pend = pending()
-    if (pend.isEmpty) return 0L
 
     // robots broadcast join (J3) + disallow predicate (F4); permissive
     // default when no robots row (`crawler/crawler_node.py:49-52`)
@@ -108,7 +143,9 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
         prefixes.exists(pre => p.startsWith(pre))
       }
     }
-    val joined = pend.join(broadcast(robotsDf), Seq("host"), "left")
+    // lazy checkpoint: the anti-join (frontier vs fetchlog) executes once
+    // and is reused by both the fetch path and the denied-audit path
+    val joined = pend.join(broadcast(robotsDf), Seq("host"), "left").localCheckpoint(false)
     val denied = joined.filter(pathDisallowed($"url", $"disallow_prefixes"))
     val allowed = joined.filter(!pathDisallowed($"url", $"disallow_prefixes"))
 
@@ -125,16 +162,18 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     // salted repartition: a hot host spreads over ceil(cnt/target) keys
     // (performance_optimizer.py:585-589 made real; first wave uses the
     // same formula — counts come from this wave's own selection)
+    // NOTE: repartition hashes the key columns — pass (host, salt-bucket)
+    // raw. Pre-modding to nPartitions values and hashing those would
+    // birthday-collide into ~2/3 of the partitions with 3x skew.
     val cntW = Window.partitionBy($"host")
     val salted = selected
       .withColumn("salt", greatest(lit(1L), floor(count(lit(1)).over(cntW) / lit(conf.hostSaltTarget))))
-      .withColumn("pkey", pmod(xxhash64($"host", pmod($"seq", $"salt")), lit(conf.nPartitions)))
-      .repartition(conf.nPartitions, $"pkey")
+      .repartition(conf.nPartitions, $"host", pmod($"seq", $"salt"))
       .select($"url", $"host", $"depth", $"seq")
 
     // fetch stage (S3): per-partition fetcher, payload decode + invariant
     val fb = fetcherB
-    val fetched: Dataset[FetchOut] = salted.as[(String, String, Int, Long)]
+    val fetchedRaw: Dataset[FetchOut] = salted.as[(String, String, Int, Long)]
       .mapPartitions { it =>
         val f = fb.value
         val pid = TaskContext.getPartitionId()
@@ -146,20 +185,33 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
             val ps = ImageCodec.psnr(px, pg.truthPixels)
             val ph = ImageCodec.phash64(px, w, h)
             FetchOut(url, host, depth, seq, 200, success = true, error = null,
-              imageId = graft.corpus.SyntheticWeb.imageIdOf(url),
+              image_id = graft.corpus.SyntheticWeb.imageIdOf(url),
               outLinks = pg.outLinks, psnr = ps,
               captionOk = pg.caption == pg.truthCaption, wave = wave,
               pid = pid, executor = exec, bytes = pg.bytes, caption = pg.caption,
-              w = w, h = h, fmt = ImageCodec.format(pg.bytes), phash = ph)
+              w = w, h = h, fmt = ImageCodec.format(pg.bytes), phash = ph,
+              nLinks = pg.outLinks.size, nBytes = pg.bytes.length.toLong)
           } else
             FetchOut(url, host, depth, seq, pg.status, success = false,
-              error = s"http_${pg.status}", imageId = null, outLinks = Seq.empty,
+              error = s"http_${pg.status}", image_id = null, outLinks = Seq.empty,
               psnr = 0.0, captionOk = false, wave = wave, pid = pid, executor = exec,
-              bytes = null, caption = null, w = 0, h = 0, fmt = null, phash = 0L)
+              bytes = null, caption = null, w = 0, h = 0, fmt = null, phash = 0L,
+              nLinks = 0, nBytes = 0L)
         }
-      }.localCheckpoint() // fetch exactly once per wave: links, images, log all reuse this
+      }
 
-    val nFetched = fetched.count()
+    // Materialize the fetch EXACTLY ONCE, directly as the wave's staged
+    // `images` delta (parquet). Image payloads are written to disk a
+    // single time and never pass through the block manager as java
+    // objects; every downstream consumer (fetchlog, links, docs,
+    // metrics) re-reads only the small columns it needs — parquet
+    // column pruning skips the byte pages entirely. The staged dir
+    // becomes visible only when the wave's manifest commits.
+    val stagedImagesDir = store.stage("images", fetchedRaw.toDF())
+    val fetched = spark.read.parquet(stagedImagesDir)
+    val nFetched = fetched.count() // parquet metadata only
+    t = CrawlPipeline.trace(t, s"wave $wave select+fetch n=$nFetched files=" +
+      new java.io.File(stagedImagesDir).listFiles().count(_.getName.startsWith("part-")))
 
     // discoveries: explode links in document order (F10), resolve (F3),
     // scheme-filter (F1), canonicalize (C10)
@@ -179,44 +231,54 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       .select($"url", $"m.parent_depth", $"m.parent_seq", $"m.pos",
         ($"m.parent_depth" + 1).as("depth"), $"m.parent")
 
-    // J1 two-stage dedup vs everything ever enqueued
-    val front = frontier()
-    val novel = UrlSeen.filterNew(spark, candidates, front.select($"url"),
-      "url", conf.bloomExpectedSeen)
+    // J1 two-stage dedup vs everything ever enqueued; the Bloom sketch is
+    // maintained incrementally on the driver (merged after each commit)
+    // instead of rebuilt from the full frontier every wave
+    val bloom = seenBloom.getOrElse(
+      UrlSeen.buildBloom(front0.select($"url"), "url", conf.bloomExpectedSeen))
+    seenBloom = Some(bloom)
+    val novel = UrlSeen.filterNewWithBloom(spark, candidates,
+      front0.select($"url"), "url", bloom)
 
     // global BFS seq assignment: rank by (parent_depth, parent_seq, pos) —
     // distributed via sort + zipWithIndex (no single-partition window at
     // 10^8 discoveries/wave)
-    val maxSeq = front.agg(max($"seq")).as[Long].head()
     val sortedNovel = novel.orderBy($"parent_depth", $"parent_seq", $"pos")
-    val novelSchema = sortedNovel.schema.add("seq", LongType)
+    val novelSchema = sortedNovel.schema
+      .add("seq", LongType).add("wave", org.apache.spark.sql.types.IntegerType)
+    val wv0 = wave
     val newEntries = spark.createDataFrame(
-        sortedNovel.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (maxSeq + i + 1)) },
+        sortedNovel.rdd.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ (maxSeq + i + 1) :+ wv0) },
         novelSchema)
       .select($"url", url_host($"url").as("host"), $"depth".cast("int").as("depth"),
-        $"seq", $"parent", lit(wave).as("wave"))
+        $"seq", $"parent", $"wave")
       .as[FrontierEntry]
+      .localCheckpoint() // computed once: count, commit write, bloom merge
 
-    // fetchlog Δ: wave results + robots-denied finalizations (F12 routing)
+    // fetchlog Δ: wave results + robots-denied finalizations (F12 routing).
+    // NOTE: the wave number deliberately never appears as a literal in any
+    // plan here — a per-wave literal would defeat the codegen cache and
+    // recompile every stage every wave; it travels through closures and
+    // the $"wave" column of `fetched` instead.
+    val wv = wave
     val deniedLog = denied.select($"url", $"host", $"depth", $"seq").distinct()
-      .withColumn("status", lit(-1)).withColumn("success", lit(false))
-      .withColumn("error", lit("robots_disallowed"))
-      .withColumn("imageId", lit(null).cast("string"))
-      .withColumn("outLinks", array().cast("array<string>"))
-      .withColumn("psnr", lit(0.0)).withColumn("captionOk", lit(false))
-      .withColumn("wave", lit(wave)).withColumn("pid", lit(-1))
-      .withColumn("executor", lit("scheduler"))
-      .withColumn("bytes", lit(null).cast("binary"))
-      .withColumn("caption", lit(null).cast("string"))
-      .withColumn("w", lit(0)).withColumn("h", lit(0))
-      .withColumn("fmt", lit(null).cast("string")).withColumn("phash", lit(0L))
-    val flog = fetched.toDF().drop("bytes", "caption")
-      .unionByName(deniedLog.drop("bytes", "caption"))
+      .as[(String, String, Int, Long)]
+      .map { case (url, host, depth, seq) =>
+        FetchOut(url, host, depth, seq, -1, success = false,
+          error = "robots_disallowed", image_id = null, outLinks = Seq.empty,
+          psnr = 0.0, captionOk = false, wave = wv, pid = -1, executor = "scheduler",
+          bytes = null, caption = null, w = 0, h = 0, fmt = null, phash = 0L,
+          nLinks = 0, nBytes = 0L)
+      }
+    val flog = fetched.drop("bytes", "caption", "outLinks")
+      .unionByName(deniedLog.toDF().drop("bytes", "caption", "outLinks"))
 
-    // images Δ (S5 content sink — schema per BASELINE.json input_hint)
-    val images = fetched.filter($"success").select(
-      $"imageId".as("image_id"), $"bytes", $"w", $"h", $"fmt",
-      $"caption", $"phash", $"url", lit(wave).as("wave"))
+    // images Δ = the staged fetch parquet itself (S5 content sink): it
+    // carries the input_hint schema columns — imageId(image_id-class
+    // key), bytes, w, h, fmt, caption, phash — plus fetch metadata;
+    // readers filter success=true for payload rows. No second copy of
+    // the bytes is ever written.
 
     // indexed docs Δ (S6/S7 — url-keyed doc table; url is unique because
     // fetchlog prevents refetch, so upsert == append here)
@@ -224,25 +286,42 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       $"url",
       array_join(slice(split($"caption", " "), 1, 8), " ").as("title"),
       $"caption".as("content"),
-      $"host".as("domain"), lit(wave).as("crawl_wave"))
+      $"host".as("domain"), $"wave".as("crawl_wave"))
 
     // metrics + lineage Δ (A1 counters, per-partition attribution)
-    val metrics = fetched.groupBy($"pid".as("partitionId"))
+    val metrics = fetched.groupBy($"wave", $"pid".as("partitionId"))
       .agg(sum(when($"success", 1L).otherwise(0L)).as("fetched"),
         sum(when(!$"success", 1L).otherwise(0L)).as("failed"),
-        sum(size($"outLinks")).cast("long").as("linksExtracted"),
-        sum(when($"bytes".isNotNull, length($"bytes")).otherwise(0)).cast("long").as("bytesWritten"))
-      .withColumn("wave", lit(wave))
+        sum($"nLinks").cast("long").as("linksExtracted"),
+        sum($"nBytes").as("bytesWritten"))
       .withColumn("newUrls", lit(null).cast("long"))
-    val lineage = fetched.groupBy($"pid".as("partitionId"), $"executor")
+    val lineage = fetched.groupBy($"wave", $"pid".as("partitionId"), $"executor")
       .agg(count(lit(1)).as("nRows"))
-      .withColumn("wave", lit(wave)).withColumn("stage", lit("fetch"))
+      .withColumn("stage", lit("fetch"))
 
     val nNew = newEntries.count()
-    store.commit(
-      Seq("frontier" -> newEntries.toDF(), "fetchlog" -> flog, "images" -> images,
-        "indexed_docs" -> docs, "metrics" -> metrics, "lineage" -> lineage),
-      Map("wave" -> wave.toString, "fetched" -> nFetched.toString, "new_urls" -> nNew.toString))
+    t = CrawlPipeline.trace(t, s"wave $wave discover n=$nNew")
+    val deltas = Seq.newBuilder[(String, DataFrame)]
+    deltas += "fetchlog" -> flog
+    if (nNew > 0) deltas += "frontier" -> newEntries.toDF()
+    if (nFetched > 0) {
+      deltas += "indexed_docs" -> docs
+      deltas += "metrics" -> metrics
+      deltas += "lineage" -> lineage
+    }
+    store.commit(deltas.result(),
+      Map("wave" -> wave.toString, "fetched" -> nFetched.toString, "new_urls" -> nNew.toString),
+      staged = if (nFetched > 0) Seq("images" -> stagedImagesDir) else Seq.empty)
+
+    // advance driver caches to the committed state
+    val flogUrls = flog.select($"url").localCheckpoint()
+    maxSeqCache = Some(maxSeq + nNew)
+    loggedCache = Some(logged + flogUrls.count()) // = nFetched + nDenied, exact
+    frontierState = Some(front0.unionByName(newEntries.toDF()))
+    flogKeysState = Some(flogKeys.unionByName(flogUrls))
+    if (nNew > 0)
+      bloom.mergeInPlace(UrlSeen.buildBloom(newEntries.toDF(), "url", conf.bloomExpectedSeen))
+    CrawlPipeline.trace(t, s"wave $wave commit")
     nFetched
   }
 
@@ -262,10 +341,20 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
   }
 }
 
+object CrawlPipeline {
+  /** Section timing to stderr when SPARK_GRAFT_TRACE=1 (perf debugging). */
+  private val traceOn = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+  def trace(since: Long, msg: String): Long = {
+    if (traceOn) System.err.println(f"[crawl-trace] $msg: ${(System.nanoTime() - since) / 1e9}%.2fs")
+    System.nanoTime()
+  }
+}
+
 /** Flat fetch-stage row: FetchResult fields + payload + lineage. */
 case class FetchOut(
     url: String, host: String, depth: Int, seq: Long,
-    status: Int, success: Boolean, error: String, imageId: String,
+    status: Int, success: Boolean, error: String, image_id: String,
     outLinks: Seq[String], psnr: Double, captionOk: Boolean, wave: Int,
     pid: Int, executor: String, bytes: Array[Byte], caption: String,
-    w: Int, h: Int, fmt: String, phash: Long)
+    w: Int, h: Int, fmt: String, phash: Long,
+    nLinks: Int, nBytes: Long) // precomputed so metrics never scan payload columns

@@ -39,9 +39,15 @@ object UrlSeen {
    * Candidates must already be intra-batch deduplicated.
    */
   def filterNew(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
-                urlCol: String, expectedSeen: Long): DataFrame = {
-    if (seen.isEmpty) return candidates
-    val bloom = buildBloom(seen, urlCol, expectedSeen)
+                urlCol: String, expectedSeen: Long): DataFrame =
+    filterNewWithBloom(spark, candidates, seen, urlCol,
+      buildBloom(seen, urlCol, expectedSeen))
+
+  /** Same, with a caller-maintained sketch (the pipeline merges each
+    * wave's new URLs into a driver-held Bloom instead of rebuilding
+    * from the full frontier every wave). */
+  def filterNewWithBloom(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
+                         urlCol: String, bloom: BloomFilter): DataFrame = {
     val bv = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((u: String) => bv.value.mightContainString(u))
     val definitelyNew = candidates.filter(!mightContain(col(urlCol)))

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming translations of the reference's poll-loop
+ * semantics (SURVEY.md §2.8). The crawl itself is deliberately a batch
+ * wave loop (ordering + atomic multi-table commits are provable there);
+ * these operators are the streaming forms of its monitoring/state
+ * paths, for deployments that tail the crawl's logs live:
+ *
+ *  - `windowedEventCounts`: heartbeat/crawl-rate monitoring —
+ *    event-time tumbling windows with a watermark for late data
+ *    (A5/O5: `monitor.py:112-133`, rate deltas per time bucket).
+ *  - `hostBudgetState`: per-host politeness accounting with
+ *    `flatMapGroupsWithState` — the streaming equivalent of the
+ *    per-wave budget window (`crawler/crawler_node.py:297`), emitting a
+ *    row whenever a host first exceeds its budget within the state
+ *    lifetime.
+ */
+object StreamOps {
+
+  /** Tumbling windowed counts + value sums per event type, 10-minute
+    * watermark (late rows beyond it are dropped, matching the
+    * reference's drop-unknown-task behavior, `master_node.py:131-132`). */
+  def windowedEventCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  case class FetchEvent(host: String, url: String)
+  case class BudgetBreach(host: String, nFetches: Long)
+
+  /** Stateful per-host counter: emits a breach row the first time a host
+    * crosses `budget` fetches; state times out after `timeoutMs` idle. */
+  def hostBudgetState(fetches: Dataset[FetchEvent], budget: Long,
+                      timeoutMs: Long = 60000L): Dataset[BudgetBreach] = {
+    import fetches.sparkSession.implicits._
+    fetches
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (host: String, rows: Iterator[FetchEvent], state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val before = state.getOption.getOrElse(0L)
+            val after = before + rows.size
+            state.update(after)
+            state.setTimeoutDuration(timeoutMs)
+            if (before <= budget && after > budget) Iterator(BudgetBreach(host, after))
+            else Iterator.empty
+          }
+        })
+  }
+}

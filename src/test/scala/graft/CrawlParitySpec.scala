@@ -22,7 +22,9 @@ class CrawlParitySpec extends AnyFunSuite {
   import spark.implicits._
 
   private val web = SyntheticWeb.generate(seed = 42L, nHosts = 12, nPages = 150)
-  private val conf = CrawlConfig(waveSeconds = 10.0, nPartitions = 8,
+  // waveSeconds=20 keeps politeness deferral observable (budget 4 for a
+  // crawl-delay-5 host) while holding the suite to ~10 waves per crawl
+  private val conf = CrawlConfig(waveSeconds = 20.0, nPartitions = 8,
     hostSaltTarget = 4, bloomExpectedSeen = 10000)
 
   private def newPipeline(root: String, c: CrawlConfig = conf): CrawlPipeline = {
@@ -104,7 +106,7 @@ class CrawlParitySpec extends AnyFunSuite {
   test("images table: content-addressed ids, phash matches the corpus within 4 bits") {
     val corpusPhash = web.images.map(i => i.image_id -> i.phash).toMap
     val rows = store.read(spark, "images")
-      .select($"image_id", $"url", $"phash").as[(String, String, Long)].collect()
+      .filter($"success").select($"image_id", $"url", $"phash").as[(String, String, Long)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (id, url, ph) =>
       assert(id == SyntheticWeb.imageIdOf(url))

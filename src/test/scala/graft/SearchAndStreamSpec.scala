@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.search.SearchEngine
+import graft.streaming.StreamOps
+
+class SearchAndStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    ("http://a.test/1", "spark joins", "spark makes the join fast and the scan fast", "a.test", 1),
+    ("http://a.test/2", "slow scans", "the scan is slow but the join is ok", "a.test", 1),
+    ("http://b.test/1", "sparkles", "spark spark spark join", "b.test", 2),
+    ("http://c.test/1", "nothing", "completely unrelated words here", "c.test", 2)
+  ).toDF("url", "title", "content", "domain", "crawl_wave")
+
+  test("searchAnd: v1 AND-intersection of posting lists") {
+    val se = new SearchEngine(spark, docs)
+    val got = se.searchAnd("spark join").as[String].collect().toSeq
+    assert(got == Seq("http://a.test/1", "http://b.test/1"))
+    assert(se.searchAnd("the scan").as[String].collect().toSeq ==
+      Seq("http://a.test/1", "http://a.test/2"))
+    assert(se.searchAnd("absent-term").count() == 0)
+  }
+
+  test("search: BM25 ranks the term-dense doc first, snippets attached") {
+    val se = new SearchEngine(spark, docs)
+    val got = se.search("spark join", k = 3)
+      .select($"rank", $"url", $"snippet").as[(Int, String, String)].collect()
+    assert(got.length == 3)
+    assert(got.head._2 == "http://b.test/1") // highest tf for both terms
+    assert(got.forall(_._3.endsWith("...")))
+  }
+
+  test("streaming: windowed event counts over a file stream (AvailableNow)") {
+    val dir = Files.createTempDirectory("stream-in").toString
+    graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    // event-time watermarks require TIMESTAMP (with local tz); the parquet
+    // roundtrip infers TIMESTAMP_NTZ, so normalize the column first
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", $"ts".cast("timestamp"))
+    // complete mode: a single AvailableNow batch never advances the
+    // watermark past its own data, so append would emit zero rows
+    val q = StreamOps.windowedEventCounts(stream, "6 hours")
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("wincounts")
+    val batch = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+    val gotSet = got.select($"window_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batchSet = batch.as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(gotSet == batchSet, "streamed windows must equal the batch computation")
+    assert(gotSet.nonEmpty)
+  }
+
+  test("GraftExtensions: URL expressions callable from SQL") {
+    val row = spark.sql(
+      """SELECT canonicalize_url('HTTP://A.Test:80/x/../y?b=2&a=1#f') AS c,
+        |       url_host('https://WWW.B.test/z') AS h,
+        |       resolve_url('http://a.test/d/e', 'g') AS r,
+        |       is_http_url('mailto:x@y') AS m""".stripMargin)
+      .as[(String, String, String, Boolean)].head()
+    assert(row == (("http://a.test/y?a=1&b=2", "www.b.test", "http://a.test/d/g", false)))
+  }
+
+  test("streaming: flatMapGroupsWithState flags hosts exceeding a budget") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[StreamOps.FetchEvent]
+    val q = StreamOps.hostBudgetState(in.toDS(), budget = 2)
+      .writeStream.format("memory").queryName("breaches")
+      .outputMode("append").start()
+    in.addData(
+      StreamOps.FetchEvent("hot.test", "u1"), StreamOps.FetchEvent("hot.test", "u2"),
+      StreamOps.FetchEvent("hot.test", "u3"), StreamOps.FetchEvent("cold.test", "u4"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("breaches").as[StreamOps.BudgetBreach].collect()
+    assert(got.toSeq == Seq(StreamOps.BudgetBreach("hot.test", 3)))
+  }
+}
