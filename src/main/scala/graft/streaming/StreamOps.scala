@@ -37,20 +37,26 @@ object StreamOps {
   case class BudgetBreach(host: String, nFetches: Long)
 
   /** Stateful per-host counter: emits a breach row the first time a host
-    * crosses `budget` fetches; state times out after `timeoutMs` idle. */
+    * crosses `budget` fetches. `timeoutMs` evicts idle host state in a
+    * live deployment; leave it None under `processAllAvailable()`-style
+    * synchronous draining — ProcessingTimeTimeout keeps scheduling
+    * timeout-evaluation micro-batches, which livelocks that call. */
   def hostBudgetState(fetches: Dataset[FetchEvent], budget: Long,
-                      timeoutMs: Long = 60000L): Dataset[BudgetBreach] = {
+                      timeoutMs: Option[Long] = None): Dataset[BudgetBreach] = {
     import fetches.sparkSession.implicits._
+    val timeoutKind =
+      if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     fetches
       .groupByKey(_.host)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutKind)(
         (host: String, rows: Iterator[FetchEvent], state: GroupState[Long]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val before = state.getOption.getOrElse(0L)
             val after = before + rows.size
             state.update(after)
-            state.setTimeoutDuration(timeoutMs)
+            timeoutMs.foreach(state.setTimeoutDuration)
             if (before <= budget && after > budget) Iterator(BudgetBreach(host, after))
             else Iterator.empty
           }
