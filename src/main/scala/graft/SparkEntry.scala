@@ -29,11 +29,14 @@ object SparkEntry {
     "q30_tumbling"       -> Relational.q30Tumbling _,
     "q31_sessionize"     -> Relational.q31Sessionize _,
     "q32_error_routing"  -> Relational.q32ErrorRouting _,
+    "q41_response_stats" -> Relational.q41ResponseStats _,
+    "q42_json_roundtrip" -> Relational.q42JsonRoundtrip _,
     // URL ops (§2.2/§2.7, custom Catalyst expressions)
     "q15_canonicalize"   -> UrlQueries.q15Canonicalize _,
     "q16_resolve_url"    -> UrlQueries.q16Resolve _,
     "q17_scheme_filter"  -> UrlQueries.q17SchemeFilter _,
     "q18_domain_agg"     -> UrlQueries.q18DomainAgg _,
+    "q43_seed_normalize" -> UrlQueries.q43SeedNormalize _,
     // text analysis (training-data ops)
     "q13_token_freq"     -> TextQueries.q13TokenFreq _,
     "q26_lang_id"        -> TextQueries.q26LangId _,
@@ -47,10 +50,14 @@ object SparkEntry {
     "q22_simhash"        -> DedupQueries.q22Simhash _,
     "q23_ngram_jaccard"  -> DedupQueries.q23NgramJaccard _,
     "q25_embed_nearest"  -> DedupQueries.q25EmbedNearest _,
+    "q38_simhash_pairs"  -> DedupQueries.q38SimhashPairs _,
     // similarity search + multimodal
     "q24_knn_cosine"     -> SimQueries.q24KnnCosine _,
     "q36_multimodal_meta" -> SimQueries.q36MultimodalMeta _,
     "q37_frame_sample"   -> SimQueries.q37FrameSample _,
+    "q39_lsh_cosine_pairs" -> SimQueries.q39LshCosinePairs _,
+    // snapshot-metadata statistics (A3/A7)
+    "q40_storage_stats"  -> StorageQueries.q40StorageStats _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -69,10 +76,13 @@ object SparkEntry {
     "q30_tumbling"       -> Relational.q30Sql,
     "q31_sessionize"     -> Relational.q31Sql,
     "q32_error_routing"  -> Relational.q32Sql,
+    "q41_response_stats" -> Relational.q41Sql,
+    "q42_json_roundtrip" -> Relational.q42Sql,
     "q15_canonicalize"   -> UrlQueries.q15Sql,
     "q16_resolve_url"    -> UrlQueries.q16Sql,
     "q17_scheme_filter"  -> UrlQueries.q17Sql,
     "q18_domain_agg"     -> UrlQueries.q18Sql,
+    "q43_seed_normalize" -> UrlQueries.q43Sql,
     "q13_token_freq"     -> TextQueries.q13Sql,
     "q26_lang_id"        -> TextQueries.q26Sql,
     "q27_quality_score"  -> TextQueries.q27Sql,
@@ -84,8 +94,11 @@ object SparkEntry {
     "q22_simhash"        -> DedupQueries.q22Sql,
     "q23_ngram_jaccard"  -> DedupQueries.q23Sql,
     "q25_embed_nearest"  -> DedupQueries.q25Sql,
+    "q38_simhash_pairs"  -> DedupQueries.q38Sql,
     "q24_knn_cosine"     -> SimQueries.q24Sql,
     "q36_multimodal_meta" -> SimQueries.q36Sql,
     "q37_frame_sample"   -> SimQueries.q37Sql,
+    "q39_lsh_cosine_pairs" -> SimQueries.q39Sql,
+    "q40_storage_stats"  -> StorageQueries.q40Sql,
   )
 }

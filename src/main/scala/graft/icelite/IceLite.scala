@@ -39,7 +39,8 @@ class IceLite(val root: String) {
   private val metaDir = Paths.get(root, "meta")
 
   case class Manifest(id: Long, parent: Long, meta: Map[String, String],
-                      tables: Map[String, Seq[String]])
+                      tables: Map[String, Seq[String]],
+                      stats: Map[String, Seq[ParquetStats.DirStat]])
 
   private def headPath: Path = metaDir.resolve("_head")
   private def manifestPath(id: Long): Path = metaDir.resolve(s"snap-$id.manifest")
@@ -54,16 +55,24 @@ class IceLite(val root: String) {
     var parent = -1L
     val meta = scala.collection.mutable.Map[String, String]()
     val tables = scala.collection.mutable.Map[String, Vector[String]]()
+    val stats = scala.collection.mutable.Map[String, Vector[ParquetStats.DirStat]]()
+    def add(name: String, dir: String, st: ParquetStats.DirStat): Unit = {
+      tables(name) = tables.getOrElse(name, Vector.empty) :+ dir
+      stats(name) = stats.getOrElse(name, Vector.empty) :+ st
+    }
     lines.foreach { l =>
       l.split("\t", -1).toList match {
         case "parent" :: p :: Nil        => parent = p.toLong
         case "meta" :: k :: v :: Nil     => meta(k) = v
-        case "table" :: name :: dir :: Nil =>
-          tables(name) = tables.getOrElse(name, Vector.empty) :+ dir
+        // stats-bearing entry: table <name> <dir> <rows> <bytes> <files>
+        case "table" :: name :: dir :: rows :: bytes :: files :: Nil =>
+          add(name, dir, ParquetStats.DirStat(dir, rows.toLong, bytes.toLong, files.toInt))
+        case "table" :: name :: dir :: Nil => // pre-stats manifest line
+          add(name, dir, ParquetStats.DirStat(dir, -1L, -1L, -1))
         case _ => ()
       }
     }
-    Manifest(id, parent, meta.toMap, tables.toMap)
+    Manifest(id, parent, meta.toMap, tables.toMap, stats.toMap)
   }
 
   /** Pre-write a delta outside any snapshot (invisible until a commit
@@ -84,8 +93,9 @@ class IceLite(val root: String) {
     Files.createDirectories(metaDir)
     val parent = currentSnapshotId
     val id = parent.getOrElse(0L) + 1L
-    val prev: Map[String, Seq[String]] =
-      parent.map(p => manifest(p).tables).getOrElse(Map.empty)
+    // carry forward prior dirs WITH their recorded stats (no re-scan)
+    val prev: Map[String, Seq[ParquetStats.DirStat]] =
+      parent.map(p => manifest(p).stats).getOrElse(Map.empty)
 
     // Write all table deltas concurrently (independent Spark jobs from
     // driver threads) — commit wall time = slowest write, not the sum.
@@ -105,8 +115,9 @@ class IceLite(val root: String) {
         }
       }, Duration.Inf)
     }
+    // footer stats for every new dir (driver-side metadata read, no job)
     val merged = (newDirs ++ staged).foldLeft(prev) { case (acc, (t, dir)) =>
-      acc + (t -> (acc.getOrElse(t, Seq.empty) :+ dir))
+      acc + (t -> (acc.getOrElse(t, Seq.empty) :+ ParquetStats.dirStat(dir)))
     }
 
     val sb = new StringBuilder
@@ -114,12 +125,17 @@ class IceLite(val root: String) {
     meta.foreach { case (k, v) =>
       sb.append(s"meta\t$k\t${v.replace("\t", " ").replace("\n", " ")}\n")
     }
-    merged.toSeq.sortBy(_._1).foreach { case (t, dirs) =>
-      dirs.foreach(d => sb.append(s"table\t$t\t$d\n"))
+    merged.toSeq.sortBy(_._1).foreach { case (t, dirStats) =>
+      dirStats.foreach(d =>
+        sb.append(s"table\t$t\t${d.dir}\t${d.rows}\t${d.bytes}\t${d.files}\n"))
     }
     val tmp = metaDir.resolve(s".snap-$id.tmp")
     Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(id), StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE_EXISTING: a crash after this move but before the _head swap
+    // leaves snap-<id> orphaned; the retry recomputes the same id (head
+    // unchanged) and must be able to overwrite it instead of wedging.
+    Files.move(tmp, manifestPath(id), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
 
     val headTmp = metaDir.resolve(".head.tmp")
     Files.write(headTmp, id.toString.getBytes(StandardCharsets.UTF_8))
@@ -142,6 +158,31 @@ class IceLite(val root: String) {
   }
 
   def commitMeta(snapshotId: Long): Map[String, String] = manifest(snapshotId).meta
+
+  /** Total (rows, bytes, files) for a table at a snapshot, from manifest
+    * stats alone — the reference's index-size/status reads
+    * (`indexer/indexer_node.py:188-215`) with zero data I/O. Returns
+    * None when any dir predates stats recording. */
+  def tableStat(table: String, snapshotId: Option[Long] = None): Option[(Long, Long, Long)] = {
+    val snap = snapshotId.orElse(currentSnapshotId)
+    val ds = snap.map(manifest(_).stats.getOrElse(table, Seq.empty)).getOrElse(Seq.empty)
+    if (ds.isEmpty || ds.exists(_.rows < 0)) None
+    else Some((ds.map(_.rows).sum, ds.map(_.bytes).sum, ds.map(_.files.toLong).sum))
+  }
+
+  /** Storage statistics over every table at a snapshot (A3/A7:
+    * `monitor.py:165-204` S3 listing + `indexer_node.py:188-200` index
+    * walk, answered from snapshot metadata — at scale this is also what
+    * makes file pruning possible). One row per (table, delta dir). */
+  def storageStats(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
+    val snap = snapshotId.orElse(currentSnapshotId)
+    val rows = snap.map(manifest(_)).toSeq.flatMap { m =>
+      m.stats.toSeq.flatMap { case (t, ds) =>
+        ds.map(d => (t, d.dir, d.rows, d.bytes, d.files))
+      }
+    }
+    spark.createDataFrame(rows).toDF("table_name", "dir", "n_rows", "n_bytes", "n_files")
+  }
 
   /** All snapshot ids from head back to the first commit. */
   def history: Seq[Long] = {

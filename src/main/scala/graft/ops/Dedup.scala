@@ -29,41 +29,75 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingles as an array column (empty if too few tokens). */
-  def shinglesCol(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokensCol(text)
+  /** Shingle array from an ALREADY-MATERIALIZED token-array column.
+    * slice+array_join, not per-index element_at: higher-order functions
+    * run interpreted (no codegen), so an element_at(toks, i+j) per
+    * output element re-evaluates the token expression tree per shingle
+    * — measured 14x slower on the sf0.1 documents table. */
+  private def shinglesFromToks(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array())
-  }
+
+  /** Word n-gram shingles as an array column (empty if too few tokens). */
+  def shinglesCol(text: Column, n: Int): Column =
+    shinglesFromToks(TextAnalysis.tokensCol(text), n)
+
+  /** (id, tokens-array) projection — materializes the token array once
+    * so downstream array lambdas index into ArrayData instead of
+    * re-tokenizing per access. */
+  private def withToks(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), TextAnalysis.tokensCol(col(text)).as("__toks"))
 
   /** (id, shingle) distinct rows. */
   def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id), explode(shinglesCol(col(text), n)).as("shingle")).distinct()
+    withToks(df, id, text)
+      .select(col(id), explode(shinglesFromToks(col("__toks"), n)).as("shingle"))
+      .distinct()
 
-  /** MinHash signatures: k md5-derived min-hashes per document. */
+  /** MinHash signatures: k md5-derived min-hashes per document.
+    * No pre-distinct on shingles: min() is duplicate-insensitive, so
+    * skipping it removes a full shuffle of the raw shingle strings —
+    * the explode feeds a map-side partial min-agg and only k hashes
+    * per doc cross the wire. */
   def minhashSignatures(df: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame = {
-    val sh = shingles(df, id, text, n)
+    val sh = withToks(df, id, text)
+      .select(col(id), explode(shinglesFromToks(col("__toks"), n)).as("shingle"))
     val aggs = (0 until k).map(j => min(md5(concat(col("shingle"), lit(s"#$j")))).as(s"mh$j"))
     sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: rows (id, band_id, band_hash); rowsPerBand minhashes
-    * are concatenated and re-hashed per band. */
+    * are concatenated and re-hashed per band. Single pass over the
+    * signature table — all bands come out of one explode, so the
+    * signature aggregation is scanned exactly once (a per-band
+    * union-of-projections would inline the shingle-explode + min-agg
+    * subtree once per band per consumer). */
   def lshBands(sigs: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
-    val bands = (0 until nBands).map { bnd =>
+    val bandStructs = (0 until nBands).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
-      sigs.select(col(id), lit(bnd).as("band_id"), md5(concat(parts: _*)).as("band_hash"))
+      struct(lit(bnd).as("band_id"), md5(concat(parts: _*)).as("band_hash"))
     }
-    bands.reduce(_ unionByName _)
+    sigs.select(col(id), explode(array(bandStructs: _*)).as("b"))
+      .select(col(id), col("b.band_id").as("band_id"), col("b.band_hash").as("band_hash"))
   }
 
-  /** Candidate near-duplicate pairs (a < b) sharing at least one LSH band. */
+  /** Candidate near-duplicate pairs (a < b) sharing at least one LSH band.
+    *
+    * The signature table is materialized ONCE (localCheckpoint) before
+    * the self-join: it is k hashes per doc — orders of magnitude smaller
+    * than the corpus — while its lineage (tokenize → shingle explode →
+    * 8-way min aggregation) is the most expensive subtree in the
+    * pipeline. Without materialization Catalyst inlines that subtree
+    * into both join sides (2 scans; with per-band unions, 2·nBands).
+    * On a cluster the same effect comes from persisting or writing the
+    * signatures to a staging table. */
   def minhashCandidates(df: DataFrame, id: String, text: String,
                         n: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = lshBands(minhashSignatures(df, id, text, n, k), id, k, rowsPerBand)
+    val sigs = minhashSignatures(df, id, text, n, k).localCheckpoint()
+    val bands = lshBands(sigs, id, k, rowsPerBand)
     val a = bands.select(col("band_id"), col("band_hash"), col(id).as("doc_a"))
     val b = bands.select(col("band_id"), col("band_hash"), col(id).as("doc_b"))
     a.join(b, Seq("band_id", "band_hash"))
@@ -88,18 +122,37 @@ object Dedup {
           .reduce(_ + _).cast("int").as("simhash"))
   }
 
-  /** SimHash near-dup pairs within a bucket column: hamming(simhash) <= maxDist. */
-  def simhashPairs(sigs: DataFrame, id: String, bucket: Option[String], maxDist: Int): DataFrame = {
-    val a = sigs.select((bucket.toSeq.map(col) :+ col(id).as("doc_a") :+ col("simhash").as("sh_a")): _*)
-    val b = sigs.select((bucket.toSeq.map(col) :+ col(id).as("doc_b") :+ col("simhash").as("sh_b")): _*)
-    val joined = bucket match {
-      case Some(bc) => a.join(b, Seq(bc))
-      case None     => a.crossJoin(b)
+  /** SimHash near-dup pairs: hamming(simhash) <= maxDist.
+    *
+    * Bucketing is derived from the signature itself by the pigeonhole
+    * principle: split the `bits`-wide signature into (maxDist+1) bit
+    * bands — any pair within hamming distance maxDist must agree
+    * EXACTLY on at least one band, so a (band_id, band_val) equi-join
+    * finds every qualifying pair with no cross join anywhere. At scale
+    * the shuffle is bounded by band-bucket sizes, never n².
+    * `sigs` (id, simhash — two narrow columns) is materialized once so
+    * the signature aggregation isn't recomputed per join side. */
+  def simhashPairs(sigs: DataFrame, id: String, maxDist: Int, bits: Int = 16): DataFrame = {
+    require(maxDist >= 0 && maxDist + 1 <= bits, s"need >=1 bit per band: maxDist=$maxDist bits=$bits")
+    val nBands = maxDist + 1
+    val bandBits = bits / nBands
+    val bandStructs = (0 until nBands).map { bnd =>
+      val lo = bnd * bandBits
+      val width = if (bnd == nBands - 1) bits - lo else bandBits
+      struct(lit(bnd).as("band_id"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1 << width) - 1)).as("band_val"))
     }
-    joined.filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    val banded = sigs.localCheckpoint()
+      .select(col(id), col("simhash"), explode(array(bandStructs: _*)).as("b"))
+      .select(col(id), col("simhash"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+    val a = banded.select(col("band_id"), col("band_val"), col(id).as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_val"), col(id).as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for pairs that share >=1 shingle

@@ -75,6 +75,40 @@ object DedupQueries {
        |SELECT doc_id, CAST($simhashSumSql AS INT) AS simhash
        |FROM bits ORDER BY doc_id""".stripMargin
 
+  /** q38: SimHash near-dup pairs via pigeonhole banding (hamming <= 2,
+    * 3 bands — any qualifying pair agrees exactly on >= 1 band, so the
+    * join is a band equi-join, never a cross join). */
+  def q38SimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Dedup.simhash16(documents(s, d), "doc_id", "text"),
+        "doc_id", maxDist = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val q38Sql: String = {
+    val maxDist = 2; val bits = 16
+    val nBands = maxDist + 1; val bandBits = bits / nBands
+    val bandSelects = (0 until nBands).map { b =>
+      val lo = b * bandBits
+      val width = if (b == nBands - 1) bits - lo else bandBits
+      s"SELECT doc_id, simhash, $b AS band_id, (simhash >> $lo) & ${(1 << width) - 1} AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH tf AS (
+       | SELECT doc_id, token, count(*) AS cnt, md5(token) AS h FROM (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS token
+       |  FROM documents)
+       | GROUP BY doc_id, token),
+       |bits AS (
+       | SELECT doc_id,
+       |  $simhashBitsSql
+       | FROM tf GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($simhashSumSql AS INT) AS simhash FROM bits),
+       |banded AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       | CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** q23: exact 2-gram Jaccard >= 0.05 over shingle-sharing pairs. */
   def q23NgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(documents(s, d), "doc_id", "text", n = 2, minJaccard = 0.05)

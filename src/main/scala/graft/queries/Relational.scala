@@ -266,12 +266,80 @@ object Relational {
   }
 
   val q31Sql: String =
-    """SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events FROM (
+    """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
       | SELECT user_id,
       |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       |        OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
       |       THEN 1 ELSE 0 END AS new_s
       | FROM events) GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q41: response-time-style stats (A6: `performance_optimizer.py:88-96`) —
+    * n/min/max/mean plus an EXACT median (row_number-selected middle
+    * values, decimal-exact midpoint) instead of percentile_approx, so the
+    * DuckDB oracle matches bit-for-bit. */
+  def q41ResponseStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val rankW = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val cntW = Window.partitionBy($"event_type")
+    val med = ev.select($"event_type", $"value", $"event_id")
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("cnt", count(lit(1)).over(cntW))
+      .filter($"rn" === expr("(cnt + 1) div 2") || $"rn" === expr("(cnt + 2) div 2"))
+      .groupBy($"event_type")
+      .agg((sum($"value".cast("decimal(18,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("median_value"))
+    ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"),
+        (sum($"value".cast("decimal(18,6)")).cast("double") /
+         count(lit(1)).cast("double")).as("mean_value"))
+      .join(med, "event_type")
+      .orderBy($"event_type")
+  }
+
+  val q41Sql: String =
+    """WITH ranked AS (
+      | SELECT event_type, value,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS cnt
+      | FROM events),
+      |med AS (
+      | SELECT event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS median_value
+      | FROM ranked WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      | GROUP BY event_type),
+      |stats AS (
+      | SELECT event_type, count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_value
+      | FROM events GROUP BY event_type)
+      |SELECT stats.event_type, n, min_value, max_value, mean_value, median_value
+      |FROM stats JOIN med ON stats.event_type = med.event_type
+      |ORDER BY stats.event_type""".stripMargin
+
+  /** q42: JSON boundary codec (C8: every reference message crosses a
+    * to_json/from_json boundary, `master/master_node.py:89,151`) —
+    * encode a struct, decode it back with an explicit schema, verify
+    * the roundtrip columns. */
+  def q42JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    events(s, d)
+      .select($"event_id", to_json(struct($"user_id", $"event_type")).as("payload"))
+      .withColumn("parsed", from_json($"payload", schema))
+      .select($"event_id", $"payload",
+        $"parsed.user_id".as("user_id_rt"), $"parsed.event_type".as("event_type_rt"))
+      .orderBy($"event_id")
+  }
+
+  val q42Sql: String =
+    """SELECT event_id,
+      | to_json(struct_pack(user_id := user_id, event_type := event_type)) AS payload,
+      | user_id AS user_id_rt, event_type AS event_type_rt
+      |FROM events ORDER BY event_id""".stripMargin
 
   /** q32: error/success routing counts (F12: route by outcome class). */
   def q32ErrorRouting(s: SparkSession, d: String): DataFrame = {

@@ -38,6 +38,41 @@ object SimQueries {
       |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q39: sign-LSH bucketed ANN — the scale path for similarity search:
+    * same-bucket pairs only (bucket equi-join bounds the shuffle; the
+    * brute-force cross join of q24 is the correctness baseline). */
+  def q39LshCosinePairs(s: SparkSession, d: String): DataFrame =
+    Similarity.lshCosinePairs(embeddings(s, d), "vec_id", "embedding",
+        dim = 64, nPlanes = 8, minSim = 0.0)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  val q39Sql: String = {
+    val dim = 64; val nPlanes = 8
+    // Same md5-derived hyperplanes as Similarity.signLshBucket, embedded
+    // as list literals so DuckDB computes identical buckets.
+    val planeLits = (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) "1" else "-1"
+      }.mkString("[", ",", "]")
+    }
+    val bucketTerms = (0 until nPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range($dim), i -> s[i+1] * (${planeLits(p)})[i+1])) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sc AS (
+       | SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       | FROM embeddings),
+       |n AS (SELECT vec_id, s, list_sum(list_transform(s, x -> x * x)) AS n2 FROM sc),
+       |b AS (SELECT vec_id, s, n2, CAST($bucketTerms AS INT) AS bucket FROM n)
+       |SELECT vec_a, vec_b, sim FROM (
+       | SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |  CAST(list_sum(list_transform(range($dim), i -> a.s[i+1] * c.s[i+1])) AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+       | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |WHERE sim >= 0.0 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** q36: multimodal metadata decode over a binary column (stubbed codec;
     * real mapPartitions plumbing over unhex(md5(text)) blobs). */
   def q36MultimodalMeta(s: SparkSession, d: String): DataFrame = {

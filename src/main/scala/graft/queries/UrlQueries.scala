@@ -102,4 +102,32 @@ object UrlQueries {
     """SELECT concat('www.site', doc_id % 7, '.org') AS domain,
       | count(*) AS n_pages, min(doc_id) AS first_doc
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q43: seed normalization — F6 empty/whitespace guard
+    * (`crawler/crawler_node.py:390-393`) + F8 scheme-default projection
+    * (`indexer/indexer_node.py:121-122`) + canonicalize, the exact
+    * pre-steps user-entered seeds go through before the frontier. */
+  def q43SeedNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = ($"doc_id" % 9).cast("string")
+    val raw = when($"doc_id" % 5 === 0, concat(lit("example"), n, lit(".test/page/"), $"doc_id".cast("string")))
+      .when($"doc_id" % 5 === 1, concat(lit("  HTTPS://Example"), n, lit(".TEST/x/"), $"doc_id".cast("string"), lit("  ")))
+      .when($"doc_id" % 5 === 2, lit(""))
+      .when($"doc_id" % 5 === 3, lit("   "))
+      .otherwise(concat(lit("http://example"), n, lit(".test:80/y/"), $"doc_id".cast("string")))
+    documents(s, d)
+      .select($"doc_id", raw.as("raw_seed"))
+      .filter(non_empty_url($"raw_seed"))
+      .withColumn("url_c", canonicalize_url(ensure_scheme($"raw_seed")))
+      .select($"doc_id", $"url_c")
+      .orderBy($"doc_id")
+  }
+
+  val q43Sql: String =
+    """SELECT doc_id,
+      | CASE doc_id % 5
+      |  WHEN 0 THEN concat('http://example', doc_id % 9, '.test/page/', doc_id)
+      |  WHEN 1 THEN concat('https://example', doc_id % 9, '.test/x/', doc_id)
+      |  ELSE concat('http://example', doc_id % 9, '.test/y/', doc_id) END AS url_c
+      |FROM documents WHERE doc_id % 5 NOT IN (2, 3) ORDER BY doc_id""".stripMargin
 }

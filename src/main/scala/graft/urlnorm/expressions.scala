@@ -93,9 +93,22 @@ case class IsHttpUrl(child: Expression) extends UnaryExpression {
 
 /** Column-level API for the URL expressions. */
 object urlfunctions {
+  import org.apache.spark.sql.functions.{concat, length, lit, trim, when}
+
   def canonicalize_url(c: Column): Column = GraftBridge.column(CanonicalizeUrl(GraftBridge.expression(c)))
   def url_host(c: Column): Column = GraftBridge.column(UrlHost(GraftBridge.expression(c)))
   def resolve_url(base: Column, href: Column): Column =
     GraftBridge.column(ResolveUrl(GraftBridge.expression(base), GraftBridge.expression(href)))
   def is_http_url(c: Column): Column = GraftBridge.column(IsHttpUrl(GraftBridge.expression(c)))
+
+  /** F8 scheme-default projection (`indexer/indexer_node.py:121-122`):
+    * user-entered seeds without an http(s) scheme get "http://" prefixed.
+    * Pure built-in column logic — stays in whole-stage codegen. */
+  def ensure_scheme(c: Column): Column = {
+    val t = trim(c)
+    when(t.rlike("(?i)^https?://"), t).otherwise(concat(lit("http://"), t))
+  }
+
+  /** F6 empty/whitespace task guard (`crawler/crawler_node.py:390-393`). */
+  def non_empty_url(c: Column): Column = c.isNotNull && length(trim(c)) > 0
 }
