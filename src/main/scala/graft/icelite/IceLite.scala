@@ -162,11 +162,12 @@ class IceLite(val root: String) {
   /** Total (rows, bytes, files) for a table at a snapshot, from manifest
     * stats alone — the reference's index-size/status reads
     * (`indexer/indexer_node.py:188-215`) with zero data I/O. Returns
-    * None when any dir predates stats recording. */
+    * None when any dir predates stats recording; Some((0,0,0)) when the
+    * table simply has no data yet (matches read()'s empty DataFrame). */
   def tableStat(table: String, snapshotId: Option[Long] = None): Option[(Long, Long, Long)] = {
     val snap = snapshotId.orElse(currentSnapshotId)
     val ds = snap.map(manifest(_).stats.getOrElse(table, Seq.empty)).getOrElse(Seq.empty)
-    if (ds.isEmpty || ds.exists(_.rows < 0)) None
+    if (ds.exists(_.rows < 0)) None
     else Some((ds.map(_.rows).sum, ds.map(_.bytes).sum, ds.map(_.files.toLong).sum))
   }
 

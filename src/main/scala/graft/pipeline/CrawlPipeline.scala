@@ -22,7 +22,13 @@ case class CrawlConfig(
     defaultDelay: Double = 1.0,   // crawl-delay when robots has none (`archive/crawler_node.py:34`)
     nPartitions: Int = 32,
     hostSaltTarget: Int = 8,      // target selected-URLs per (host,salt) partition key
-    bloomExpectedSeen: Long = 1 << 20)
+    bloomExpectedSeen: Long = 1 << 20,
+    // J1 scale path: above this frontier size the seen-set pre-filter
+    // switches from one broadcast sketch to the executor-side bucketed
+    // sketch table (UrlSeen.filterNewBucketed) — a ~10^10-key frontier
+    // cannot ship a single 12 GB sketch to every task
+    seenBucketsThreshold: Long = 100000000L,
+    seenBuckets: Int = 4096)
 
 /**
  * The crawl engine (SURVEY.md §3.1): a batch-iterative wave loop where
@@ -103,12 +109,12 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
 
   // Driver-held wave-to-wave state (performance only — resume recomputes
   // everything from the committed tables, so crashes can't corrupt it):
-  // frontier size == max seq (seq is dense), finalized-count, seen-Bloom,
-  // and incrementally-unioned checkpoint DataFrames of the frontier and
-  // the finalized-url keys (re-reading the growing parquet logs every
-  // wave costs O(waves) listing+scan jobs; the union of materialized
-  // checkpoints costs none). Union depth grows one per wave — fine for
-  // O(100) waves; a long-running crawl would re-checkpoint periodically.
+  // frontier size == max seq (seq is dense), finalized-count, seen-Bloom.
+  // The frontier / finalized-key DataFrames are plain multi-dir parquet
+  // relations re-resolved from the manifest after each commit — a single
+  // scan node regardless of wave count (no union nesting, no block-
+  // manager residency, nothing to re-checkpoint on long crawls). Wave
+  // sizes are read from manifest footer stats, never count() jobs.
   private var maxSeqCache: Option[Long] = None
   private var loggedCache: Option[Long] = None
   private var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
@@ -116,11 +122,11 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
   private var flogKeysState: Option[DataFrame] = None
 
   private def frontierDf: DataFrame = frontierState.getOrElse {
-    val df = store.read(spark, "frontier", None, Some(frontierSchema)).localCheckpoint()
+    val df = store.read(spark, "frontier", None, Some(frontierSchema))
     frontierState = Some(df); df
   }
   private def flogKeys: DataFrame = flogKeysState.getOrElse {
-    val df = fetchlog().select($"url").localCheckpoint()
+    val df = fetchlog().select($"url")
     flogKeysState = Some(df); df
   }
 
@@ -128,26 +134,35 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
   def runWave(wave: Int): Long = {
     var t = System.nanoTime()
     val front0 = frontierDf
-    val maxSeq = maxSeqCache.getOrElse(front0.agg(max($"seq")).as[Long].head())
+    // dense seq ⇒ frontier size == max seq; manifest stats answer both
+    // totals with zero Spark jobs (fallback: one agg on resume from a
+    // pre-stats snapshot)
+    val maxSeq = maxSeqCache.getOrElse(
+      store.tableStat("frontier").map(_._1)
+        .getOrElse(front0.agg(max($"seq")).as[Long].head()))
     maxSeqCache = Some(maxSeq)
-    val logged = loggedCache.getOrElse(flogKeys.count())
+    val logged = loggedCache.getOrElse(
+      store.tableStat("fetchlog").map(_._1).getOrElse(flogKeys.count()))
     loggedCache = Some(logged)
     if (logged >= maxSeq) return 0L // every enqueued URL is finalized
     val pend = pending()
 
     // robots broadcast join (J3) + disallow predicate (F4); permissive
-    // default when no robots row (`crawler/crawler_node.py:49-52`)
-    val pathDisallowed = udf { (url: String, prefixes: Seq[String]) =>
-      prefixes != null && {
-        val p = UrlCanon.pathOf(url)
-        prefixes.exists(pre => p.startsWith(pre))
-      }
-    }
-    // lazy checkpoint: the anti-join (frontier vs fetchlog) executes once
-    // and is reused by both the fetch path and the denied-audit path
-    val joined = pend.join(broadcast(robotsDf), Seq("host"), "left").localCheckpoint(false)
-    val denied = joined.filter(pathDisallowed($"url", $"disallow_prefixes"))
-    val allowed = joined.filter(!pathDisallowed($"url", $"disallow_prefixes"))
+    // default when no robots row (`crawler/crawler_node.py:49-52`).
+    // Pure column logic — url_path is a codegen expression and the
+    // prefix test an `exists` over the tiny prefix array (no Scala UDF
+    // closure on the highest-volume filter). The path is materialized
+    // as a column once so the lambda doesn't re-parse the URL per
+    // prefix element.
+    // Lazy checkpoint: the anti-join (frontier vs fetchlog) executes once
+    // and is reused by both the fetch path and the denied-audit path.
+    val joined = pend.join(broadcast(robotsDf), Seq("host"), "left")
+      .withColumn("__path", url_path($"url"))
+      .localCheckpoint(false)
+    val disallowedCol = $"disallow_prefixes".isNotNull &&
+      exists($"disallow_prefixes", p => startswith($"__path", p))
+    val denied = joined.filter(disallowedCol)
+    val allowed = joined.filter(!disallowedCol)
 
     // per-host politeness budget (§2.8): selected_k <= floor(wave/delay)
     val budget = greatest(lit(1L),
@@ -173,14 +188,27 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
 
     // fetch stage (S3): per-partition fetcher, payload decode + invariant
     val fb = fetcherB
+    val traceFetch = CrawlPipeline.traceOn
     val fetchedRaw: Dataset[FetchOut] = salted.as[(String, String, Int, Long)]
-      .mapPartitions { it =>
+      .mapPartitions { it0 =>
         val f = fb.value
         val pid = TaskContext.getPartitionId()
         val exec = Option(org.apache.spark.SparkEnv.get).map(_.executorId).getOrElse("driver")
+        var fetchNs = 0L
+        var rows = 0L
+        val t0 = System.nanoTime()
+        val it = if (!traceFetch) it0 else new Iterator[(String, String, Int, Long)] {
+          def hasNext = {
+            val h = it0.hasNext
+            if (!h) System.err.println(f"[fetch-trace] pid=$pid rows=$rows fetch=${fetchNs / 1e9}%.1fs total=${(System.nanoTime() - t0) / 1e9}%.1fs")
+            h
+          }
+          def next() = it0.next()
+        }
         it.map { case (url, host, depth, seq) =>
+          val tf = System.nanoTime()
           val pg = f.fetch(url)
-          if (pg.status == 200) {
+          val out = if (pg.status == 200) {
             val (px, w, h) = ImageCodec.decode(pg.bytes)
             val ps = ImageCodec.psnr(px, pg.truthPixels)
             val ph = ImageCodec.phash64(px, w, h)
@@ -197,6 +225,9 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
               psnr = 0.0, captionOk = false, wave = wave, pid = pid, executor = exec,
               bytes = null, caption = null, w = 0, h = 0, fmt = null, phash = 0L,
               nLinks = 0, nBytes = 0L)
+          fetchNs += System.nanoTime() - tf
+          rows += 1
+          out
         }
       }
 
@@ -208,10 +239,10 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     // column pruning skips the byte pages entirely. The staged dir
     // becomes visible only when the wave's manifest commits.
     val stagedImagesDir = store.stage("images", fetchedRaw.toDF())
+    val imagesStat = graft.icelite.ParquetStats.dirStat(stagedImagesDir)
+    val nFetched = imagesStat.rows // footer metadata, no job
     val fetched = spark.read.parquet(stagedImagesDir)
-    val nFetched = fetched.count() // parquet metadata only
-    t = CrawlPipeline.trace(t, s"wave $wave select+fetch n=$nFetched files=" +
-      new java.io.File(stagedImagesDir).listFiles().count(_.getName.startsWith("part-")))
+    t = CrawlPipeline.trace(t, s"wave $wave select+fetch n=$nFetched files=${imagesStat.files}")
 
     // discoveries: explode links in document order (F10), resolve (F3),
     // scheme-filter (F1), canonicalize (C10)
@@ -231,19 +262,33 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       .select($"url", $"m.parent_depth", $"m.parent_seq", $"m.pos",
         ($"m.parent_depth" + 1).as("depth"), $"m.parent")
 
-    // J1 two-stage dedup vs everything ever enqueued; the Bloom sketch is
-    // maintained incrementally on the driver (merged after each commit)
-    // instead of rebuilt from the full frontier every wave
-    val bloom = seenBloom.getOrElse(
-      UrlSeen.buildBloom(front0.select($"url"), "url", conf.bloomExpectedSeen))
-    seenBloom = Some(bloom)
-    val novel = UrlSeen.filterNewWithBloom(spark, candidates,
-      front0.select($"url"), "url", bloom)
+    // J1 two-stage dedup vs everything ever enqueued. Below the
+    // threshold: one driver-maintained broadcast sketch (merged after
+    // each commit, never rebuilt from the full frontier). Above it (the
+    // 10^10 path): the executor-side bucketed sketch table — built from
+    // the frontier as one distributed aggregation, probed via a
+    // bucket-cogroup; nothing sketch-sized ever reaches the driver.
+    val useBuckets = maxSeq > conf.seenBucketsThreshold
+    val novel = if (useBuckets) {
+      UrlSeen.filterNewBucketed(candidates, front0.select($"url"), "url",
+        conf.seenBuckets, itemsPerBucket = math.max(2L * maxSeq / conf.seenBuckets, 1024L))
+    } else {
+      val bloom = seenBloom.getOrElse(
+        UrlSeen.buildBloom(front0.select($"url"), "url", conf.bloomExpectedSeen))
+      seenBloom = Some(bloom)
+      UrlSeen.filterNewWithBloom(spark, candidates,
+        front0.select($"url"), "url", bloom)
+    }
 
     // global BFS seq assignment: rank by (parent_depth, parent_seq, pos) —
     // distributed via sort + zipWithIndex (no single-partition window at
-    // 10^8 discoveries/wave)
+    // 10^8 discoveries/wave). The sorted plan is persisted for the two
+    // passes zipWithIndex inherently needs (offset count + map), then
+    // the result goes straight to a staged parquet dir: the row count
+    // comes from footers and every later consumer (commit reference,
+    // bloom merge) reads the file — no checkpoint or count jobs.
     val sortedNovel = novel.orderBy($"parent_depth", $"parent_seq", $"pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val novelSchema = sortedNovel.schema
       .add("seq", LongType).add("wave", org.apache.spark.sql.types.IntegerType)
     val wv0 = wave
@@ -254,7 +299,9 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       .select($"url", url_host($"url").as("host"), $"depth".cast("int").as("depth"),
         $"seq", $"parent", $"wave")
       .as[FrontierEntry]
-      .localCheckpoint() // computed once: count, commit write, bloom merge
+    val stagedFrontierDir = store.stage("frontier", newEntries.toDF())
+    sortedNovel.unpersist(blocking = false)
+    val nNew = graft.icelite.ParquetStats.dirStat(stagedFrontierDir).rows
 
     // fetchlog Δ: wave results + robots-denied finalizations (F12 routing).
     // NOTE: the wave number deliberately never appears as a literal in any
@@ -299,28 +346,34 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       .agg(count(lit(1)).as("nRows"))
       .withColumn("stage", lit("fetch"))
 
-    val nNew = newEntries.count()
     t = CrawlPipeline.trace(t, s"wave $wave discover n=$nNew")
+    val staged = Seq.newBuilder[(String, String)]
+    if (nFetched > 0) staged += "images" -> stagedImagesDir
+    if (nNew > 0) staged += "frontier" -> stagedFrontierDir
+    else org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedFrontierDir))
     val deltas = Seq.newBuilder[(String, DataFrame)]
     deltas += "fetchlog" -> flog
-    if (nNew > 0) deltas += "frontier" -> newEntries.toDF()
     if (nFetched > 0) {
       deltas += "indexed_docs" -> docs
       deltas += "metrics" -> metrics
       deltas += "lineage" -> lineage
     }
-    store.commit(deltas.result(),
+    val snapId = store.commit(deltas.result(),
       Map("wave" -> wave.toString, "fetched" -> nFetched.toString, "new_urls" -> nNew.toString),
-      staged = if (nFetched > 0) Seq("images" -> stagedImagesDir) else Seq.empty)
+      staged = staged.result())
 
-    // advance driver caches to the committed state
-    val flogUrls = flog.select($"url").localCheckpoint()
+    // advance driver caches to the committed state: counts come from the
+    // manifest footer stats of the just-committed delta dirs; the state
+    // DataFrames re-resolve against the new manifest (single multi-dir
+    // parquet relation — zero jobs here)
     maxSeqCache = Some(maxSeq + nNew)
-    loggedCache = Some(logged + flogUrls.count()) // = nFetched + nDenied, exact
-    frontierState = Some(front0.unionByName(newEntries.toDF()))
-    flogKeysState = Some(flogKeys.unionByName(flogUrls))
-    if (nNew > 0)
-      bloom.mergeInPlace(UrlSeen.buildBloom(newEntries.toDF(), "url", conf.bloomExpectedSeen))
+    loggedCache = Some(store.tableStat("fetchlog", Some(snapId)).map(_._1)
+      .getOrElse(logged + nFetched)) // exact: nFetched + nDenied
+    frontierState = None
+    flogKeysState = None
+    if (nNew > 0 && !useBuckets)
+      seenBloom.foreach(_.mergeInPlace(UrlSeen.buildBloom(
+        spark.read.parquet(stagedFrontierDir), "url", conf.bloomExpectedSeen)))
     CrawlPipeline.trace(t, s"wave $wave commit")
     nFetched
   }
@@ -343,7 +396,7 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
 
 object CrawlPipeline {
   /** Section timing to stderr when SPARK_GRAFT_TRACE=1 (perf debugging). */
-  private val traceOn = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+  private[pipeline] val traceOn = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
   def trace(since: Long, msg: String): Long = {
     if (traceOn) System.err.println(f"[crawl-trace] $msg: ${(System.nanoTime() - since) / 1e9}%.2fs")
     System.nanoTime()

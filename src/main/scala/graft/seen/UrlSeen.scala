@@ -1,7 +1,14 @@
 package graft.seen
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BooleanType
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /**
@@ -9,30 +16,49 @@ import org.apache.spark.util.sketch.BloomFilter
  * the reference's `seen_urls` Python set (`master/master_node.py:44,
  * 119-127`) rebuilt as a two-stage probabilistic + exact filter:
  *
- *  1. Bloom pre-filter: a sketch built from the seen table, broadcast
- *     to executors. `mightContain == false` proves a candidate is new —
- *     those rows skip the join entirely. At a 10^10-URL frontier the
- *     overwhelming majority of re-discovered links are dupes, so the
- *     exact join's probe side shrinks by orders of magnitude.
+ *  1. Bloom pre-filter: `mightContain == false` proves a candidate is
+ *     new — those rows skip the join entirely. At a 10^10-URL frontier
+ *     the overwhelming majority of re-discovered links are dupes, so
+ *     the exact join's probe side shrinks by orders of magnitude.
  *  2. Exact left-anti join for the maybe-seen remainder — Bloom false
  *     positives are corrected here, so correctness never depends on the
  *     sketch.
  *
- * Scale sizing (documented, SURVEY.md §4): one monolithic sketch at
- * 10^10 keys / 1% FPP needs ~12 GB — too big to broadcast. The scale
- * path buckets the key space by host hash (4096 buckets ⇒ ~2.4M
- * keys/bucket ⇒ ~3 MB/bucket); executors build buckets with a
- * partial-merge aggregation (bitwise OR) and each fetch partition only
- * loads the buckets its hosts hash into. This module implements the
- * broadcast variant (right for up to ~10^8 seen URLs / ~120 MB) plus
- * the bucketed builder; the exact-join backstop is identical in both.
+ * Two physical paths, both keyed on `xxhash64(url)` longs so the probe
+ * is Spark's native codegen `might_contain` (no Scala UDF in the
+ * highest-volume filter in the system):
+ *
+ *  - **broadcast** (up to ~10^8 seen URLs / ~120 MB sketch): one
+ *    driver-held sketch embedded as a binary literal — shipped once per
+ *    stage with the task binary, deserialized once per task.
+ *  - **bucketed** (the 10^10 path): one sketch per host-hash bucket
+ *    (4096 buckets ⇒ ~2.4M keys / ~3 MB per bucket), built executor-
+ *    side by Spark's `BloomFilterAggregate` (TypedImperativeAggregate,
+ *    partial-merge = bitwise OR) into a (bucket, sketch) TABLE that is
+ *    never collected to the driver. Candidates shuffle once on the same
+ *    bucket key and are classified per-bucket via cogroup — each task
+ *    deserializes only the sketches of the buckets it owns.
  */
 object UrlSeen {
 
-  /** Build a driver-side Bloom sketch of `urlCol` (public Spark sketch API). */
+  /** xxhash64(urlCol) — the key both sketch builders and probes use. */
+  private def keyCol(urlCol: String): Column = xxhash64(col(urlCol))
+
+  /** Scala-side xxhash64 identical to the SQL expression (seed 42). */
+  private def xx64(s: String): Long =
+    XxHash64(Seq(Literal(UTF8String.fromString(s))), 42L)
+      .eval(null).asInstanceOf[Long]
+
+  /** Native codegen probe: might_contain(<sketch literal>, xxhash64(url)). */
+  private def mightContainCol(sketch: Array[Byte], urlCol: String): Column =
+    GraftBridge.column(BloomFilterMightContain(
+      Literal(sketch), GraftBridge.expression(keyCol(urlCol))))
+
+  /** Build a driver-side Bloom sketch over xxhash64(urlCol). */
   def buildBloom(seen: DataFrame, urlCol: String,
                  expectedItems: Long, fpp: Double = 0.01): BloomFilter =
-    seen.stat.bloomFilter(urlCol, math.max(expectedItems, 1L), fpp)
+    seen.select(keyCol(urlCol).as("h")).stat
+      .bloomFilter("h", math.max(expectedItems, 1L), fpp)
 
   /**
    * Returns candidates whose `urlCol` is definitely absent from `seen`.
@@ -48,35 +74,77 @@ object UrlSeen {
     * from the full frontier every wave). */
   def filterNewWithBloom(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
                          urlCol: String, bloom: BloomFilter): DataFrame = {
-    val bv = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((u: String) => bv.value.mightContainString(u))
-    val definitelyNew = candidates.filter(!mightContain(col(urlCol)))
-    val maybeSeen = candidates.filter(mightContain(col(urlCol)))
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val probe = mightContainCol(bos.toByteArray, urlCol)
+    val definitelyNew = candidates.filter(!probe)
+    val maybeSeen = candidates.filter(probe)
     val corrected = maybeSeen.join(
       seen.select(col(urlCol)).distinct(), Seq(urlCol), "left_anti")
     definitelyNew.unionByName(corrected)
   }
 
-  /** Bucketed sketch builder (the 10^10 scale path): one Bloom per
-    * host-hash bucket, built executor-side with a partial merge. */
-  def buildBucketedBlooms(seen: DataFrame, urlCol: String, nBuckets: Int,
-                          itemsPerBucket: Long, fpp: Double = 0.01): Map[Int, BloomFilter] = {
-    val spark = seen.sparkSession
-    import spark.implicits._
-    seen.select(pmod(xxhash64(col(urlCol)), lit(nBuckets)).cast("int").as("bucket"),
-                col(urlCol).as("u"))
-      .as[(Int, String)]
-      .groupByKey(_._1)
-      .mapGroups { (bucket, rows) =>
-        val bf = BloomFilter.create(itemsPerBucket, fpp)
-        rows.foreach(r => bf.putString(r._2))
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        (bucket, bos.toByteArray)
+  /** Bits for the optimal Bloom sizing n·ln(1/p)/ln(2)². */
+  private def optimalNumBits(n: Long, p: Double): Long =
+    math.ceil(n * math.log(1.0 / p) / (math.log(2.0) * math.log(2.0))).toLong
+
+  /** (bucket, sketch) table — the 10^10 scale path. Built entirely
+    * executor-side: groupBy(bucket) + BloomFilterAggregate partial
+    * merges; the result is a DataFrame to join/cogroup against (or
+    * persist in a snapshot table), NOT a driver-side map. */
+  def bucketSketches(seen: DataFrame, urlCol: String, nBuckets: Int,
+                     itemsPerBucket: Long, fpp: Double = 0.01): DataFrame = {
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(keyCol(urlCol)),
+      Literal(math.max(itemsPerBucket, 1L)),
+      Literal(math.max(optimalNumBits(math.max(itemsPerBucket, 1L), fpp), 64L)),
+      0, 0)
+    seen.groupBy(pmod(keyCol(urlCol), lit(nBuckets.toLong)).as("bucket"))
+      .agg(GraftBridge.column(agg.toAggregateExpression()).as("sketch"))
+  }
+
+  /**
+   * Classify candidates against a (bucket, sketch) table: output =
+   * candidate columns + `might_be_seen`. One shuffle on the bucket key
+   * for each side; each cogroup task deserializes a bucket's sketch
+   * once and streams the bucket's candidates through it.
+   */
+  def classifyBucketed(candidates: DataFrame, sketches: DataFrame,
+                       urlCol: String, nBuckets: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val schema = candidates.schema
+    val outSchema = schema.add("might_be_seen", BooleanType, nullable = false)
+    val candEnc = Encoders.row(schema)
+    val skEnc = Encoders.row(sketches.schema)
+    val outEnc = Encoders.row(outSchema)
+    val urlIdx = schema.fieldIndex(urlCol)
+    val n = nBuckets.toLong
+    val candK = candidates.as(candEnc)
+      .groupByKey(r => Math.floorMod(xx64(r.getString(urlIdx)), n))(Encoders.scalaLong)
+    val skK = sketches.as(skEnc)
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+    candK.cogroup(skK) { (_, candIt, skIt) =>
+      val bf = skIt.buffered.headOption.map(r =>
+        BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("sketch"))))
+      bf match {
+        case None => candIt.map(r => Row.fromSeq(r.toSeq :+ false))
+        case Some(f) => candIt.map { r =>
+          Row.fromSeq(r.toSeq :+ f.mightContainLong(xx64(r.getString(urlIdx))))
+        }
       }
-      .collect()
-      .map { case (b, bytes) =>
-        b -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
-      }.toMap
+    }(outEnc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** Two-stage filter through the bucketed path: sketch-table classify,
+    * then the exact anti-join backstop for the maybe-seen remainder. */
+  def filterNewBucketed(candidates: DataFrame, seen: DataFrame, urlCol: String,
+                        nBuckets: Int, itemsPerBucket: Long, fpp: Double = 0.01): DataFrame = {
+    val sketches = bucketSketches(seen, urlCol, nBuckets, itemsPerBucket, fpp)
+    val classified = classifyBucketed(candidates, sketches, urlCol, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = classified.filter(!col("might_be_seen")).drop("might_be_seen")
+    val maybeSeen = classified.filter(col("might_be_seen")).drop("might_be_seen")
+    definitelyNew.unionByName(
+      maybeSeen.join(seen.select(col(urlCol)).distinct(), Seq(urlCol), "left_anti"))
   }
 }

@@ -79,6 +79,19 @@ case class ResolveUrl(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "resolve_url"
 }
 
+/** Path component extraction (C9 robots-prefix matching base). */
+case class UrlPath(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(UrlCanon.pathOf(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.urlnorm.UrlCanon.pathOf($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): UrlPath =
+    copy(child = newChild)
+  override def prettyName: String = "url_path"
+}
+
 /** Scheme whitelist predicate (F1). */
 case class IsHttpUrl(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType
@@ -97,6 +110,7 @@ object urlfunctions {
 
   def canonicalize_url(c: Column): Column = GraftBridge.column(CanonicalizeUrl(GraftBridge.expression(c)))
   def url_host(c: Column): Column = GraftBridge.column(UrlHost(GraftBridge.expression(c)))
+  def url_path(c: Column): Column = GraftBridge.column(UrlPath(GraftBridge.expression(c)))
   def resolve_url(base: Column, href: Column): Column =
     GraftBridge.column(ResolveUrl(GraftBridge.expression(base), GraftBridge.expression(href)))
   def is_http_url(c: Column): Column = GraftBridge.column(IsHttpUrl(GraftBridge.expression(c)))

@@ -146,6 +146,23 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(flog(a) == flog(store))
   }
 
+  test("bucketed seen-set path (10^10 scale J1): identical frontier + fetchlog") {
+    // force every wave through UrlSeen.filterNewBucketed (sketch TABLE +
+    // cogroup probe + exact anti-join) instead of the broadcast sketch
+    val root = Files.createTempDirectory("crawlB").toString
+    val p = newPipeline(root, conf.copy(seenBucketsThreshold = 0L, seenBuckets = 16))
+    p.init(web.seeds)
+    p.run(maxWaves = 60)
+    val b = new IceLite(root)
+    def front(s: IceLite) = s.read(spark, "frontier")
+      .select($"url", $"depth", $"seq", $"wave").as[(String, Int, Long, Int)]
+      .collect().toSet
+    def flog(s: IceLite) = s.read(spark, "fetchlog")
+      .select($"url", $"wave", $"status").as[(String, Int, Int)].collect().toSet
+    assert(front(b) == front(store), "bucketed frontier must equal broadcast-path frontier")
+    assert(flog(b) == flog(store), "bucketed fetchlog must equal broadcast-path fetchlog")
+  }
+
   test("v1 FIFO/BFS parity: with unconstrained politeness, seq order == FIFO order") {
     val root = Files.createTempDirectory("crawlF").toString
     val fast = CrawlConfig(waveSeconds = 1e9, nPartitions = 8,

@@ -33,7 +33,46 @@ class SearchAndStreamSpec extends AnyFunSuite {
       .select($"rank", $"url", $"snippet").as[(Int, String, String)].collect()
     assert(got.length == 3)
     assert(got.head._2 == "http://b.test/1") // highest tf for both terms
-    assert(got.forall(_._3.endsWith("...")))
+    // O3: snippets highlight the matched terms in term-window fragments
+    assert(got.forall(r => r._3.contains("<b>")))
+    assert(got.head._3.contains("<b>spark</b>"))
+  }
+
+  test("search: stemming — 'joins' finds docs containing 'join' (C4)") {
+    val se = new SearchEngine(spark, docs)
+    assert(se.searchAnd("joins").as[String].collect().toSeq ==
+      Seq("http://a.test/1", "http://a.test/2", "http://b.test/1"))
+    val ranked = se.search("joining sparked", k = 4)
+      .select($"url").as[String].collect()
+    assert(ranked.nonEmpty && ranked.head == "http://b.test/1")
+  }
+
+  test("search: field-prefixed terms restrict the matched field") {
+    val se = new SearchEngine(spark, docs)
+    // "sparkles" stems to "sparkl", so only b.test/1's TITLE matches;
+    // title:scan must NOT match a.test/1 (scan in content only)
+    val got = se.search("title:scans", k = 4).select($"url").as[String].collect()
+    assert(got.toSeq == Seq("http://a.test/2"))
+  }
+
+  test("search: BM25F field weights change the ranking") {
+    // query 'spark': b.test/1 has 3x 'spark' in content (no title match
+    // — 'sparkles' stems to 'sparkl'); a.test/1 has it in the title.
+    // Content-heavy weights rank b.test/1 first; title-heavy must flip
+    // the order (Whoosh BM25F field boosts).
+    val contentHeavy = new SearchEngine(spark, docs, Map("title" -> 0.01, "content" -> 1.0))
+    val titleHeavy = new SearchEngine(spark, docs, Map("title" -> 10.0, "content" -> 0.01))
+    val c = contentHeavy.search("spark", k = 2).select($"url").as[String].collect()
+    val t = titleHeavy.search("spark", k = 2).select($"url").as[String].collect()
+    assert(c.head == "http://b.test/1") // 3x 'spark' in content
+    assert(t.head == "http://a.test/1") // 'spark' in title wins under boost
+  }
+
+  test("highlight: top-2 fragments, fallback to 200-char prefix") {
+    val h = SearchEngine.highlight("the quick join runs then another join appears later", Seq("join"))
+    assert(h.split("<b>join</b>").length >= 2, s"expected 2 highlighted fragments: $h")
+    val fb = SearchEngine.highlight("no matching words at all", Seq("join"))
+    assert(fb == "no matching words at all...")
   }
 
   test("streaming: windowed event counts over a file stream (AvailableNow)") {
