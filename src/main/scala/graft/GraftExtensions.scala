@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.urlnorm.{CanonicalizeUrl, IsHttpUrl, ResolveUrl, UrlHost}
+import graft.search.StemToken
+import graft.urlnorm.{CanonicalizeUrl, IsHttpUrl, ResolveUrl, UrlHost, UrlPath}
 
 /**
  * Session extension registering the graft SQL surface, so the URL
@@ -36,5 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("is_http_url"),
       info("is_http_url", "is_http_url(url) - http(s) scheme whitelist"),
       (args: Seq[Expression]) => IsHttpUrl(args.head)))
+    ext.injectFunction((FunctionIdentifier("url_path"),
+      info("url_path", "url_path(url) - path component (robots prefix matching)"),
+      (args: Seq[Expression]) => UrlPath(args.head)))
+    ext.injectFunction((FunctionIdentifier("stem_token"),
+      info("stem_token", "stem_token(token) - Porter stem"),
+      (args: Seq[Expression]) => StemToken(args.head)))
   }
 }

@@ -44,6 +44,8 @@ object SparkEntry {
     "q28_token_stats"    -> TextQueries.q28TokenStats _,
     "q29_fingerprint"    -> TextQueries.q29Fingerprint _,
     "q34_bm25_search"    -> TextQueries.q34Bm25 _,
+    "q44_stemmed_tokens" -> TextQueries.q44StemmedTokens _,
+    "q46_bm25f_search"   -> TextQueries.q46Bm25fSearch _,
     // dedup (training-data ops)
     "q20_dedup_exact"    -> DedupQueries.q20DedupExact _,
     "q21_minhash_lsh"    -> DedupQueries.q21MinhashLsh _,
@@ -56,6 +58,7 @@ object SparkEntry {
     "q36_multimodal_meta" -> SimQueries.q36MultimodalMeta _,
     "q37_frame_sample"   -> SimQueries.q37FrameSample _,
     "q39_lsh_cosine_pairs" -> SimQueries.q39LshCosinePairs _,
+    "q45_ivf_ann"        -> SimQueries.q45IvfAnn _,
     // snapshot-metadata statistics (A3/A7)
     "q40_storage_stats"  -> StorageQueries.q40StorageStats _,
   )
@@ -89,6 +92,8 @@ object SparkEntry {
     "q28_token_stats"    -> TextQueries.q28Sql,
     "q29_fingerprint"    -> TextQueries.q29Sql,
     "q34_bm25_search"    -> TextQueries.q34Sql,
+    "q44_stemmed_tokens" -> TextQueries.q44Sql,
+    "q46_bm25f_search"   -> TextQueries.q46Sql,
     "q20_dedup_exact"    -> DedupQueries.q20Sql,
     "q21_minhash_lsh"    -> DedupQueries.q21Sql,
     "q22_simhash"        -> DedupQueries.q22Sql,
@@ -99,6 +104,7 @@ object SparkEntry {
     "q36_multimodal_meta" -> SimQueries.q36Sql,
     "q37_frame_sample"   -> SimQueries.q37Sql,
     "q39_lsh_cosine_pairs" -> SimQueries.q39Sql,
+    "q45_ivf_ann"        -> SimQueries.q45Sql,
     "q40_storage_stats"  -> StorageQueries.q40Sql,
   )
 }

@@ -96,6 +96,53 @@ object Similarity {
     scaled.withColumn("bucket", bucketExpr.cast("int"))
   }
 
+  /**
+   * IVF-Flat ANN: a deterministic coarse quantizer (every `centEvery`-th
+   * vector is a centroid — the k-means-free data-sampled variant)
+   * partitions vectors into cells; a query probes its `nProbe` nearest
+   * cells and ranks ONLY those inverted lists. At scale: assignment is
+   * a broadcast join against K ≪ N centroids followed by one map-side
+   * argmax aggregation; the probe is a cell equi-join, so the shuffle
+   * is bounded by cell sizes (like LSH bands) while recall is governed
+   * by nProbe rather than hash collisions.
+   */
+  def ivfTopK(df: DataFrame, id: String, emb: String, centEvery: Int,
+              nProbe: Int, querySel: Column, k: Int): DataFrame = {
+    val base = withScaled(df, emb).select(col(id), col("scaled"), col("norm2"))
+    val cents = base.filter(col(id) % centEvery === 0)
+      .select(col(id).as("cid"), col("scaled").as("cs"), col("norm2").as("cn2"))
+    def simToCent = cosine(dotCol(col("scaled"), col("cs")), col("norm2"), col("cn2"))
+    // cell assignment: argmax centroid similarity, ties -> smaller cid.
+    // max(struct(sim, -cid)) is a map-side-combinable aggregate — no
+    // window shuffle over the full vector set.
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("sim_c", simToCent)
+      .groupBy(col(id))
+      .agg(max(struct(col("sim_c"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col(id), (-col("m.ncid")).as("cell"))
+    val cells = base.join(assigned, id)
+    val qprobe = base.filter(querySel)
+      .crossJoin(broadcast(cents))
+      .withColumn("sim_c", simToCent)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col(id)).orderBy(col("sim_c").desc, col("cid"))))
+      .filter(col("pr") <= nProbe)
+      .select(col(id).as("query_id"), col("scaled").as("qs"), col("norm2").as("qn2"),
+        col("cid").as("cell"))
+    // each vector lives in exactly one cell and probed cells are distinct,
+    // so a (query, neighbor) pair appears at most once — no dedup needed
+    qprobe
+      .join(cells.select(col(id).as("neighbor_id"), col("scaled").as("ns"),
+        col("norm2").as("nn2"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(dotCol(col("qs"), col("ns")), col("qn2"), col("nn2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
   /** LSH-bucketed near-dup pairs: same bucket, cosine >= minSim. */
   def lshCosinePairs(df: DataFrame, id: String, emb: String, dim: Int,
                      nPlanes: Int, minSim: Double): DataFrame = {

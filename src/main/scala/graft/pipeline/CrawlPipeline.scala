@@ -83,7 +83,10 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     val entries = firstSeen.toSeq.zipWithIndex.map { case (u, i) =>
       FrontierEntry(u, UrlCanon.host(u), depth = 0, seq = i + 1L, parent = "", wave = 0)
     }
-    val id = store.commit(Seq("frontier" -> entries.toDF()),
+    // parallelize the seed write: a driver Seq becomes a single-task
+    // local relation otherwise (a 10^7-seed bootstrap would serialize)
+    val id = store.commit(
+      Seq("frontier" -> spark.createDataset(entries).repartition(conf.nPartitions).toDF()),
       Map("wave" -> "0", "seeds" -> entries.size.toString))
     // drop any state cached before seeding
     maxSeqCache = None; loggedCache = None; seenBloom = None
@@ -282,12 +285,16 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
 
     // global BFS seq assignment: rank by (parent_depth, parent_seq, pos) —
     // distributed via sort + zipWithIndex (no single-partition window at
-    // 10^8 discoveries/wave). The sorted plan is persisted for the two
-    // passes zipWithIndex inherently needs (offset count + map), then
-    // the result goes straight to a staged parquet dir: the row count
-    // comes from footers and every later consumer (commit reference,
-    // bloom merge) reads the file — no checkpoint or count jobs.
-    val sortedNovel = novel.orderBy($"parent_depth", $"parent_seq", $"pos")
+    // 10^8 discoveries/wave). `novel` is persisted FIRST: a global sort
+    // range-samples its input before shuffling, so an unpersisted plan
+    // would evaluate the whole discover subtree (link explode + first-
+    // seen agg + seen-filter) twice. The sorted result is persisted too,
+    // for the two passes zipWithIndex inherently needs (offset count +
+    // map); it then goes straight to a staged parquet dir — row count
+    // from footers, later consumers (commit reference, bloom merge)
+    // read the file. No checkpoint or count jobs anywhere.
+    val novelP = novel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sortedNovel = novelP.orderBy($"parent_depth", $"parent_seq", $"pos")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val novelSchema = sortedNovel.schema
       .add("seq", LongType).add("wave", org.apache.spark.sql.types.IntegerType)
@@ -301,6 +308,7 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       .as[FrontierEntry]
     val stagedFrontierDir = store.stage("frontier", newEntries.toDF())
     sortedNovel.unpersist(blocking = false)
+    novelP.unpersist(blocking = false)
     val nNew = graft.icelite.ParquetStats.dirStat(stagedFrontierDir).rows
 
     // fetchlog Δ: wave results + robots-denied finalizations (F12 routing).

@@ -73,6 +73,45 @@ object SimQueries {
        |WHERE sim >= 0.0 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** q45: IVF-Flat ANN — the cell-probed scale path for similarity
+    * search (every 8th vector is a coarse centroid, queries probe their
+    * 2 nearest cells, top-5 within the probed inverted lists). */
+  def q45IvfAnn(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding",
+        centEvery = 8, nProbe = 2, querySel = col("vec_id") % 25 === 0, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  val q45Sql: String =
+    """WITH sc AS (
+      | SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s
+      | FROM embeddings),
+      |n AS (SELECT vec_id, s, list_sum(list_transform(s, x -> x * x)) AS n2 FROM sc),
+      |cents AS (SELECT vec_id AS cid, s AS cs, n2 AS cn2 FROM n WHERE vec_id % 8 = 0),
+      |simc AS (
+      | SELECT n.vec_id, cents.cid,
+      |  CAST(list_sum(list_transform(range(64), i -> n.s[i+1] * cents.cs[i+1])) AS DOUBLE)
+      |    / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cents.cn2 AS DOUBLE))) AS sim_c
+      | FROM n, cents),
+      |ranked_c AS (
+      | SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim_c DESC, cid) AS rn
+      | FROM simc),
+      |assigned AS (SELECT vec_id, cid AS cell FROM ranked_c WHERE rn = 1),
+      |qprobe AS (
+      | SELECT vec_id AS query_id, cid AS cell FROM ranked_c
+      | WHERE vec_id % 25 = 0 AND rn <= 2),
+      |cand AS (
+      | SELECT q.query_id, a.vec_id AS neighbor_id
+      | FROM qprobe q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.query_id),
+      |sims AS (
+      | SELECT c.query_id, c.neighbor_id,
+      |  CAST(list_sum(list_transform(range(64), i -> qn.s[i+1] * cn.s[i+1])) AS DOUBLE)
+      |    / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS sim
+      | FROM cand c JOIN n qn ON qn.vec_id = c.query_id JOIN n cn ON cn.vec_id = c.neighbor_id)
+      |SELECT query_id, rank, neighbor_id, sim FROM (
+      | SELECT query_id, neighbor_id, sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      | FROM sims) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** q36: multimodal metadata decode over a binary column (stubbed codec;
     * real mapPartitions plumbing over unhex(md5(text)) blobs). */
   def q36MultimodalMeta(s: SparkSession, d: String): DataFrame = {

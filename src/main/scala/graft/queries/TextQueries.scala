@@ -26,6 +26,30 @@ object TextQueries {
         |SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY token ORDER BY token""".stripMargin
 
+  /** q44: Porter-stemmed token statistics (C4 — the reference's Whoosh
+    * StemmingAnalyzer, `indexer/indexer_node.py:63-67`). The Spark side
+    * stems via the real PorterStemmer codegen expression; the DuckDB
+    * oracle hardcodes the expected stem for the corpus's fixed 31-token
+    * vocabulary, so any stemmer regression breaks the hash match. */
+  def q44StemmedTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenize(documents(s, d), "doc_id", "text")
+      .withColumn("stem", graft.search.searchfunctions.stem_token(col("token")))
+      .groupBy(col("stem"))
+      .agg(countDistinct(col("token")).as("n_forms"), count(lit(1)).as("freq"))
+      .orderBy(col("stem"))
+
+  val q44Sql: String = {
+    // vocabulary stems (computed by PorterStemmer, pinned here as the oracle)
+    val changed = Map("customer" -> "custom", "key" -> "kei", "merge" -> "merg",
+      "query" -> "queri", "table" -> "tabl", "value" -> "valu")
+    val cases = changed.map { case (t, st) => s"WHEN '$t' THEN '$st'" }.mkString(" ")
+    tokSqlCte +
+      s"""
+         |SELECT CASE token $cases ELSE token END AS stem,
+         | count(DISTINCT token) AS n_forms, count(*) AS freq
+         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q26: marker-stopword language-ID heuristic. */
   def q26LangId(s: SparkSession, d: String): DataFrame =
     TextAnalysis.langId(documents(s, d), "doc_id", "text")
@@ -89,6 +113,66 @@ object TextQueries {
     TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text",
         terms = Seq("spark", "join", "fast"), k = 10)
       .select(col("rank").cast("int").as("rank"), col("doc_id"), col("score"))
+
+  /** q46: the full v3 search path — BM25F over title+content with
+    * Porter-stemmed index AND query terms ("joins merging" must match
+    * docs containing "join"/"merge"), through the real SearchEngine.
+    * Title is derived as the first 5 tokens of the text so the oracle
+    * can reproduce the field split. */
+  def q46Bm25fSearch(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    val docs = documents(s, d).select(
+      col("doc_id").cast("string").as("url"),
+      array_join(slice(toks, 1, 5), " ").as("title"),
+      col("text").as("content"),
+      col("source").as("domain"))
+    new graft.search.SearchEngine(s, docs)
+      .search("joins merging", k = 10)
+      .select(col("rank"), col("url"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  val q46Sql: String = {
+    val changed = Map("customer" -> "custom", "key" -> "kei", "merge" -> "merg",
+      "query" -> "queri", "table" -> "tabl", "value" -> "valu")
+    val stemCase = "CASE token " +
+      changed.map { case (t, st) => s"WHEN '$t' THEN '$st'" }.mkString(" ") +
+      " ELSE token END"
+    // mirrors SearchEngine.search: per-field normalized tf (b=0.75),
+    // weight 1.0 both fields, shared saturation (k1=1.2), idf over docs
+    // containing the term in any field, score rounded to 6 decimals
+    s"""WITH raw AS (
+       | SELECT CAST(doc_id AS VARCHAR) AS url,
+       |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
+       | FROM documents),
+       |ft AS (
+       | SELECT url, 'title' AS field, $stemCase AS stem FROM (
+       |  SELECT url, unnest(tk[1:5]) AS token FROM raw)
+       | UNION ALL
+       | SELECT url, 'content' AS field, $stemCase AS stem FROM (
+       |  SELECT url, unnest(tk) AS token FROM raw)),
+       |tf AS (SELECT url, field, stem, count(*) AS tf FROM ft
+       |       WHERE stem IN ('join', 'merg') GROUP BY 1, 2, 3),
+       |fl AS (SELECT url, field, count(*) AS fl FROM ft GROUP BY 1, 2),
+       |avgl AS (SELECT field, CAST(sum(fl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgfl
+       |         FROM fl GROUP BY field),
+       |ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |tfc AS (
+       | SELECT tf.url, tf.stem,
+       |  sum(CAST(tf.tf AS DOUBLE) / (0.25 + 0.75 * CAST(fl.fl AS DOUBLE) / avgl.avgfl)) AS tfc
+       | FROM tf JOIN fl ON tf.url = fl.url AND tf.field = fl.field
+       |         JOIN avgl ON avgl.field = tf.field
+       | GROUP BY 1, 2),
+       |dfq AS (SELECT stem, count(*) AS doc_freq FROM tfc GROUP BY stem),
+       |scored AS (
+       | SELECT url, round(sum(
+       |   ln(1.0 + (n - CAST(doc_freq AS DOUBLE) + 0.5) / (CAST(doc_freq AS DOUBLE) + 0.5))
+       |   * tfc * 2.2 / (1.2 + tfc)), 6) AS score
+       | FROM tfc JOIN dfq USING (stem) CROSS JOIN ndocs
+       | GROUP BY url)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, url) AS INT) AS rank, url, score
+       |FROM scored ORDER BY score DESC, url LIMIT 10""".stripMargin
+  }
 
   val q34Sql: String =
     tokSqlCte +

@@ -79,8 +79,10 @@ object UrlSeen {
     val probe = mightContainCol(bos.toByteArray, urlCol)
     val definitelyNew = candidates.filter(!probe)
     val maybeSeen = candidates.filter(probe)
+    // no distinct on the build side: left_anti only probes for key
+    // presence, and deduping the seen table would cost a full shuffle
     val corrected = maybeSeen.join(
-      seen.select(col(urlCol)).distinct(), Seq(urlCol), "left_anti")
+      seen.select(col(urlCol)), Seq(urlCol), "left_anti")
     definitelyNew.unionByName(corrected)
   }
 
@@ -145,6 +147,6 @@ object UrlSeen {
     val definitelyNew = classified.filter(!col("might_be_seen")).drop("might_be_seen")
     val maybeSeen = classified.filter(col("might_be_seen")).drop("might_be_seen")
     definitelyNew.unionByName(
-      maybeSeen.join(seen.select(col(urlCol)).distinct(), Seq(urlCol), "left_anti"))
+      maybeSeen.join(seen.select(col(urlCol)), Seq(urlCol), "left_anti"))
   }
 }

@@ -163,6 +163,29 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(flog(b) == flog(store), "bucketed fetchlog must equal broadcast-path fetchlog")
   }
 
+  test("long crawl: >50 politeness-bound waves stay oracle-exact (state hygiene)") {
+    // 3 hosts with budget 1/host/wave forces ~55 waves over 160 pages —
+    // exercises the per-wave state re-resolution (no union-depth growth,
+    // no checkpoint accumulation) far past typical wave counts
+    val longWeb = SyntheticWeb.generate(seed = 7L, nHosts = 3, nPages = 160)
+    val c = CrawlConfig(waveSeconds = 1.0, nPartitions = 4,
+      hostSaltTarget = 4, bloomExpectedSeen = 10000)
+    val root = Files.createTempDirectory("crawlL").toString
+    val fetcher: Fetcher = SyntheticFetcher.forWeb(longWeb)
+    val p = new CrawlPipeline(spark, new IceLite(root),
+      spark.sparkContext.broadcast(fetcher), longWeb.robots, c)
+    p.init(longWeb.seeds)
+    val lastWave = p.run(maxWaves = 200)
+    assert(lastWave > 50, s"expected >50 waves, got $lastWave")
+    val want = CrawlOracle.run(longWeb, c.waveSeconds, c.defaultDelay, 200)
+    val st = new IceLite(root)
+    val got = st.read(spark, "frontier")
+      .select($"url", $"depth", $"seq", $"wave").as[(String, Int, Long, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val wantF = want.frontier.map { case (u, e) => u -> ((e.depth, e.seq.toLong, e.wave)) }
+    assert(got == wantF, "long-crawl frontier must stay oracle-exact")
+  }
+
   test("v1 FIFO/BFS parity: with unconstrained politeness, seq order == FIFO order") {
     val root = Files.createTempDirectory("crawlF").toString
     val fast = CrawlConfig(waveSeconds = 1e9, nPartitions = 8,
