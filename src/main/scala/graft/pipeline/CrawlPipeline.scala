@@ -167,15 +167,26 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     val denied = joined.filter(disallowedCol)
     val allowed = joined.filter(!disallowedCol)
 
-    // per-host politeness budget (§2.8): selected_k <= floor(wave/delay)
-    val budget = greatest(lit(1L),
-      floor(lit(conf.waveSeconds) / coalesce($"crawl_delay", lit(conf.defaultDelay))))
-    val rankW = Window.partitionBy($"host").orderBy($"depth", $"seq")
-    val selected = allowed
-      .withColumn("budget", budget)
-      .withColumn("rk", row_number().over(rankW))
-      .filter($"rk" <= $"budget")
-      .select($"url", $"host", $"depth", $"seq")
+    // per-host politeness budget (§2.8): selected_k <= floor(wave/delay).
+    // Constant-folded away when it provably cannot bind (no robots rules
+    // ⇒ every delay is the default, and floor(wave/default) >= frontier
+    // size bounds any per-host count) — the rank window is a full
+    // shuffle+sort of the pending set, pure overhead on an unconstrained
+    // drain wave.
+    val budgetUnbounded =
+      robots.isEmpty && conf.waveSeconds / conf.defaultDelay >= maxSeq.toDouble
+    val selected = if (budgetUnbounded) {
+      allowed.select($"url", $"host", $"depth", $"seq")
+    } else {
+      val budget = greatest(lit(1L),
+        floor(lit(conf.waveSeconds) / coalesce($"crawl_delay", lit(conf.defaultDelay))))
+      val rankW = Window.partitionBy($"host").orderBy($"depth", $"seq")
+      allowed
+        .withColumn("budget", budget)
+        .withColumn("rk", row_number().over(rankW))
+        .filter($"rk" <= $"budget")
+        .select($"url", $"host", $"depth", $"seq")
+    }
 
     // salted repartition: a hot host spreads over ceil(cnt/target) keys
     // (performance_optimizer.py:585-589 made real; first wave uses the

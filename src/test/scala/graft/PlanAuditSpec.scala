@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan audits: the 100-TB posture is a property of the PLAN,
+ * not the output, so these assertions pin it — filters reach the
+ * parquet scan, small dims broadcast, top-k avoids full sorts, and the
+ * LSH self-join never re-scans the corpus (the round-1 8x-recompute
+ * regression, VERDICT.md "What's wrong" #2, stays dead).
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q12: filter + projection push into the parquet scan") {
+    val p = plan("q12_scan_prune")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("l_shipdate"), "shipdate predicate not pushed")
+    // projection pruning: the scan schema must NOT include unused wide columns
+    assert(!p.contains("l_comment"), "scan reads unused columns")
+  }
+
+  test("q02: dimension joins broadcast, fact scan stays shuffle-free on dims") {
+    val p = plan("q02_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q07: global top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = plan("q07_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a full sort:\n$p")
+  }
+
+  test("q21: MinHash LSH self-join scans `documents` at most once") {
+    // the signature table is materialized (localCheckpoint) before the
+    // band self-join; an inlined plan re-scans documents once per band
+    // per side (16 scans at k=8/rowsPerBand=2 — 94% of the round-1 bench)
+    val p = plan("q21_minhash_lsh")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"q21 scans documents $scans times:\n${p.take(2000)}")
+  }
+
+  test("q34: BM25 top-k keeps stats broadcast and plans TakeOrderedAndProject") {
+    val p = plan("q34_bm25_search")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("crawl seen-probe: native might_contain, no Scala UDF filter") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // parquet-backed frames: a tiny LocalRelation would be constant-
+    // folded at planning and hide the probe expression
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("http://a.test/"), col("doc_id")).as("url"))
+    val seen = docs.filter(col("url").endsWith("0"))
+    val bloom = graft.seen.UrlSeen.buildBloom(seen, "url", 1000)
+    val out = graft.seen.UrlSeen.filterNewWithBloom(spark, docs, seen, "url", bloom)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"probe is not the native expression:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "seen probe fell back to a UDF")
+    val total = docs.count()
+    val kept = out.count()
+    val seenN = seen.count()
+    assert(kept == total - seenN, s"expected ${total - seenN} new urls, got $kept")
+  }
+}
