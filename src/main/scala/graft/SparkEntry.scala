@@ -31,6 +31,7 @@ object SparkEntry {
     "q32_error_routing"  -> Relational.q32ErrorRouting _,
     "q41_response_stats" -> Relational.q41ResponseStats _,
     "q42_json_roundtrip" -> Relational.q42JsonRoundtrip _,
+    "q48_time_math"      -> Relational.q48TimeMath _,
     // URL ops (§2.2/§2.7, custom Catalyst expressions)
     "q15_canonicalize"   -> UrlQueries.q15Canonicalize _,
     "q16_resolve_url"    -> UrlQueries.q16Resolve _,
@@ -59,6 +60,8 @@ object SparkEntry {
     "q37_frame_sample"   -> SimQueries.q37FrameSample _,
     "q39_lsh_cosine_pairs" -> SimQueries.q39LshCosinePairs _,
     "q45_ivf_ann"        -> SimQueries.q45IvfAnn _,
+    // rows-only check (no SQL oracle — real in-repo image codec; see q47 scaladoc)
+    "q47_image_features" -> SimQueries.q47ImageFeatures _,
     // snapshot-metadata statistics (A3/A7)
     "q40_storage_stats"  -> StorageQueries.q40StorageStats _,
   )
@@ -81,6 +84,7 @@ object SparkEntry {
     "q32_error_routing"  -> Relational.q32Sql,
     "q41_response_stats" -> Relational.q41Sql,
     "q42_json_roundtrip" -> Relational.q42Sql,
+    "q48_time_math"      -> Relational.q48Sql,
     "q15_canonicalize"   -> UrlQueries.q15Sql,
     "q16_resolve_url"    -> UrlQueries.q16Sql,
     "q17_scheme_filter"  -> UrlQueries.q17Sql,

@@ -89,14 +89,23 @@ object ImageCodec {
       }
       by += 1
     }
-    val out = header('Q' << 8 | 'D', w, h, coeffs.length * 2)
+    // variable-length coefficient stream: quantized coefficients are
+    // almost all tiny (gradient + low-amplitude noise / QStep), so one
+    // signed byte covers [-127, 127]; 0x80 escapes to a 2-byte short.
+    // ~1 byte/px typical vs 2 for fixed shorts — halves lossy payload
+    // bytes through parquet/shuffle/disk.
+    val buf = new Array[Byte](10 + coeffs.length * 3)
+    val hdr = header('Q' << 8 | 'D', w, h, 0)
+    System.arraycopy(hdr, 0, buf, 0, 10)
+    var p = 10
     var k = 0
     while (k < coeffs.length) {
-      out(10 + 2 * k) = (coeffs(k) >> 8).toByte
-      out(10 + 2 * k + 1) = coeffs(k).toByte
+      val c = coeffs(k)
+      if (c >= -127 && c <= 127) { buf(p) = c.toByte; p += 1 }
+      else { buf(p) = 0x80.toByte; buf(p + 1) = (c >> 8).toByte; buf(p + 2) = c.toByte; p += 3 }
       k += 1
     }
-    out
+    java.util.Arrays.copyOf(buf, p)
   }
 
   /** Decode either format to (pixels, w, h). */
@@ -114,14 +123,19 @@ object ImageCodec {
         val block = new Array[Double](64)
         val tmp = new Array[Double](64)
         val sp = new Array[Double](64)
+        var p = 10 // sequential variable-length coefficient stream
         var by = 0
         while (by < bh) {
           var bx = 0
           while (bx < bw) {
             var j = 0
             while (j < 64) {
-              val off = 10 + ((by * bw + bx) * 64 + j) * 2
-              val c = ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+              val b = bytes(p)
+              val c =
+                if (b == 0x80.toByte) {
+                  val v = ((bytes(p + 1) << 8) | (bytes(p + 2) & 0xff)).toShort
+                  p += 3; v
+                } else { p += 1; b.toShort }
               block(j) = c * QStep
               j += 1
             }
@@ -143,6 +157,35 @@ object ImageCodec {
         (px, w, h)
       case other => throw new IllegalArgumentException(s"unknown image format: $other")
     }
+  }
+
+  /** Average-pool resize to (tw, th) — integer sums with half-up
+    * rounding, so results are bit-deterministic. Cells are the same
+    * source-rectangle mapping phash64 uses for its 32x32 grid. */
+  def resizePool(pixels: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    var gy = 0
+    while (gy < th) {
+      var gx = 0
+      while (gx < tw) {
+        val x0 = gx * w / tw; val x1 = math.max((gx + 1) * w / tw, x0 + 1)
+        val y0 = gy * h / th; val y1 = math.max((gy + 1) * h / th, y0 + 1)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            if (x < w && y < h) { sum += (pixels(y * w + x) & 0xff); n += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * tw + gx) = if (n == 0) 0 else ((sum + n / 2) / n).toByte
+        gx += 1
+      }
+      gy += 1
+    }
+    out
   }
 
   /** PSNR in dB between two same-size pixel arrays; infinity if equal. */

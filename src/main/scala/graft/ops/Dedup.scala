@@ -156,9 +156,12 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for pairs that share >=1 shingle
-    * (integer set arithmetic — |∩| via equi-join, |∪| = |A|+|B|-|∩|). */
+    * (integer set arithmetic — |∩| via equi-join, |∪| = |A|+|B|-|∩|).
+    * The distinct shingle table feeds three plan branches (sizes + both
+    * join sides), so it is materialized once — same rationale as the
+    * MinHash signature checkpoint. */
   def ngramJaccard(df: DataFrame, id: String, text: String, n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingles(df, id, text, n)
+    val sh = shingles(df, id, text, n).localCheckpoint()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("shingle"), col(id).as("doc_a"))
     val b = sh.select(col("shingle"), col(id).as("doc_b"))

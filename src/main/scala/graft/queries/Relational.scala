@@ -341,6 +341,33 @@ object Relational {
       | user_id AS user_id_rt, event_type AS event_type_rt
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q48: timestamp formats + elapsed-time math (C5/C6: the reference's
+    * `"%Y-%m-%d %H:%M:%S"` crawl_date format `indexer_node.py:96`, epoch
+    * seconds `crawler_node.py:258`, and the crawl-rate computation
+    * Δcount/Δminutes `test_system.py:421-424`). */
+  def q48TimeMath(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts_str"),
+        unix_timestamp(max($"ts")).as("last_epoch"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("elapsed_s"),
+        count(lit(1)).as("n"))
+      .withColumn("per_minute",
+        $"n".cast("double") * 60.0 / $"elapsed_s".cast("double"))
+      .orderBy($"event_type")
+  }
+
+  val q48Sql: String =
+    """SELECT event_type,
+      | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts_str,
+      | CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch,
+      | CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS elapsed_s,
+      | count(*) AS n,
+      | CAST(count(*) AS DOUBLE) * 60.0 / CAST(CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS DOUBLE) AS per_minute
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q32: error/success routing counts (F12: route by outcome class). */
   def q32ErrorRouting(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

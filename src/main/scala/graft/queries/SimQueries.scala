@@ -130,6 +130,30 @@ object SimQueries {
       | 1 + (CAST(concat('0x', substr(md5(text), 7, 2)) AS INT) % 7) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q47: REAL multimodal decode/resize/feature-extract over in-repo
+    * codec binaries synthesized deterministically per document (half
+    * lossless, half lossy-DCT). No SQL oracle — DuckDB cannot run the
+    * codec — so the driver records the weaker rows-only check; the
+    * codec itself is oracle-tested in CodecSpec. */
+  def q47ImageFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.codec.ImageCodec
+    val withBytes = documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val px = graft.corpus.SyntheticWeb.pixelsFor(42L, 700000L + id, 48, 32)
+          val bytes =
+            if (id % 2 == 1) ImageCodec.encodeQdct(px, 48, 32)
+            else ImageCodec.encodeRaw(px, 48, 32)
+          (id, bytes)
+        }
+      }.toDF("doc_id", "img")
+    val feats = Multimodal.withImageFeatures(withBytes, "doc_id", "img")
+    val resized = Multimodal.withResized(withBytes, "doc_id", "img", 16, 16)
+      .select(col("doc_id"), col("rw"), col("rh"), md5(col("resized")).as("resized_md5"))
+    feats.join(resized, "doc_id").orderBy(col("doc_id"))
+  }
+
   /** q37: frame sampling (stride 2) — generator over multimodal metadata. */
   def q37FrameSample(s: SparkSession, d: String): DataFrame = {
     val meta = q36MultimodalMeta(s, d)

@@ -53,6 +53,16 @@ class CodecSpec extends AnyFunSuite {
       "unrelated images should not look like near-dups")
   }
 
+  test("resizePool: deterministic, dimension-exact, mean-preserving") {
+    val px = graft.corpus.SyntheticWeb.pixelsFor(7L, 1L, 64, 48)
+    val a = ImageCodec.resizePool(px, 64, 48, 16, 16)
+    val b = ImageCodec.resizePool(px, 64, 48, 16, 16)
+    assert(a.sameElements(b), "resize must be bit-deterministic")
+    assert(a.length == 16 * 16)
+    def mean(p: Array[Byte]) = p.map(_ & 0xff).sum.toDouble / p.length
+    assert(math.abs(mean(a) - mean(px)) < 2.0, "average-pool must preserve mean luminance")
+  }
+
   test("corrupted payload is detected by the PSNR invariant") {
     val px = SyntheticWeb.pixelsFor(42L, 9L, 32, 32)
     val bad = px.clone()
