@@ -54,6 +54,11 @@ object SparkEntry {
     "q23_ngram_jaccard"  -> DedupQueries.q23NgramJaccard _,
     "q25_embed_nearest"  -> DedupQueries.q25EmbedNearest _,
     "q38_simhash_pairs"  -> DedupQueries.q38SimhashPairs _,
+    "q49_dup_clusters"   -> DedupQueries.q49DupClusters _,
+    // corpus curation (training-data ops)
+    "q50_hash_split"     -> CurationQueries.q50HashSplit _,
+    "q51_repetition"     -> TextQueries.q51Repetition _,
+    "q53_domain_mix"     -> CurationQueries.q53DomainMix _,
     // similarity search + multimodal
     "q24_knn_cosine"     -> SimQueries.q24KnnCosine _,
     "q36_multimodal_meta" -> SimQueries.q36MultimodalMeta _,
@@ -104,6 +109,10 @@ object SparkEntry {
     "q23_ngram_jaccard"  -> DedupQueries.q23Sql,
     "q25_embed_nearest"  -> DedupQueries.q25Sql,
     "q38_simhash_pairs"  -> DedupQueries.q38Sql,
+    "q49_dup_clusters"   -> DedupQueries.q49Sql,
+    "q50_hash_split"     -> CurationQueries.q50Sql,
+    "q51_repetition"     -> TextQueries.q51Sql,
+    "q53_domain_mix"     -> CurationQueries.q53Sql,
     "q24_knn_cosine"     -> SimQueries.q24Sql,
     "q36_multimodal_meta" -> SimQueries.q36Sql,
     "q37_frame_sample"   -> SimQueries.q37Sql,

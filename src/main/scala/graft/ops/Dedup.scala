@@ -50,11 +50,14 @@ object Dedup {
   private def withToks(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), TextAnalysis.tokensCol(col(text)).as("__toks"))
 
-  /** (id, shingle) distinct rows. */
-  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+  /** (id, shingle) rows, one per occurrence (duplicates preserved). */
+  def shinglesExploded(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     withToks(df, id, text)
       .select(col(id), explode(shinglesFromToks(col("__toks"), n)).as("shingle"))
-      .distinct()
+
+  /** (id, shingle) distinct rows. */
+  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    shinglesExploded(df, id, text, n).distinct()
 
   /** MinHash signatures: k md5-derived min-hashes per document.
     * No pre-distinct on shingles: min() is duplicate-insensitive, so
@@ -153,6 +156,52 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
+  }
+
+  /**
+   * Connected components over an undirected near-duplicate edge list —
+   * the step after candidate generation in a dedup pipeline: pairs
+   * (from LSH/SimHash/Jaccard) become clusters, and each cluster keeps
+   * one canonical document (min id = the keeper, first-seen-wins like
+   * `exact`, mirroring `master/master_node.py:119-127`).
+   *
+   * Iterative min-label propagation: each round every node takes the
+   * min of its own label and its neighbors' labels; converges in
+   * O(component diameter) rounds. Near-dup clusters are shallow (dup
+   * chains of length 2-4), so the round count is small and each round
+   * is one edge-join shuffle + one label aggregation — at 100 TB the
+   * per-round cost is bounded by |edges|, never n². Labels are
+   * re-materialized per round (localCheckpoint; a staging table on a
+   * cluster) so lineage doesn't grow with iterations. For adversarial
+   * deep graphs, the alternating large-star/small-star algorithm
+   * (Kiveris et al., "Connected Components in MapReduce") drops the
+   * round count to O(log n) — not needed at dedup-cluster diameters.
+   *
+   * Returns (node, label): every node of `nodes`, labeled with the
+   * smallest id in its component (singletons label themselves).
+   */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint() // edge list is reused every round; freeze its plan once
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neighborMin = sym.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("node") === neighborMin("dst"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("__chg"))
+        .localCheckpoint()
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.drop("__chg")
+      round += 1
+    }
+    labels
   }
 
   /** Exact n-gram Jaccard similarity for pairs that share >=1 shingle

@@ -72,6 +72,26 @@ object TextAnalysis {
       .withColumn("fp_int", conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
 
   /**
+   * Gopher-style repetition signals (Rae et al. 2021 §A1.1, "Scaling
+   * Language Models" — public paper): per-document duplicate-n-gram
+   * fraction and most-frequent-n-gram coverage. High values flag
+   * boilerplate/spam for corpus filtering. All integer counts until the
+   * two final divisions, so cross-engine deterministic. One explode +
+   * two hash aggregations; the explode is map-side partial-aggregated
+   * before the single shuffle on (id, ngram).
+   */
+  def repetitionStats(df: DataFrame, id: String, text: String, n: Int = 2): DataFrame =
+    Dedup.shinglesExploded(df, id, text, n)
+      .groupBy(col(id), col("shingle")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("n_bigrams"),
+           count(lit(1)).as("n_distinct"),
+           max(col("c")).as("top_c"))
+      .select(col(id), col("n_bigrams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams").cast("double")).as("dup_frac"),
+        (col("top_c").cast("double") / col("n_bigrams").cast("double")).as("top_frac"))
+
+  /**
    * BM25 top-k search (O2): tf/df statistics via aggregation, score as a
    * column expression, TakeOrderedAndProject for the top-k. k1=1.2,
    * b=0.75 (Whoosh BM25F defaults). Scores rounded to 6 decimals before

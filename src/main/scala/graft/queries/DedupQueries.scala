@@ -132,6 +132,50 @@ object DedupQueries {
         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.05
         |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q49: duplicate clusters — connected components over the exact
+    * 2-gram-Jaccard edge list (>= 0.5), min-id keeper per cluster.
+    * The pair->cluster->keeper step that completes the dedup pipeline:
+    * candidates (q21/q38) -> verification (q23) -> clusters (here). */
+  def q49DupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val edges = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, minJaccard = 0.5)
+    val cc = Dedup.connectedComponents(docs, "doc_id", edges, "doc_a", "doc_b")
+    val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("label")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-reachable-id per node via recursive CTE == min-label propagation. */
+  val q49Sql: String =
+    """WITH RECURSIVE toks AS (
+      | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
+      | FROM documents),
+      |sh AS (
+      | SELECT DISTINCT doc_id,
+      |  unnest(list_transform(range(greatest(len(tk) - 1, 0)), i -> tk[i+1] || ' ' || tk[i+2])) AS shingle
+      | FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
+      |edges AS (
+      | SELECT doc_a, doc_b FROM inter
+      | JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      | WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5),
+      |sym AS (SELECT doc_a AS s, doc_b AS t FROM edges UNION ALL SELECT doc_b, doc_a FROM edges),
+      |reach(node, lab) AS (
+      | SELECT doc_id, doc_id FROM documents
+      | UNION
+      | SELECT e.t, r.lab FROM reach r JOIN sym e ON e.s = r.node),
+      |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+      |SELECT doc_id, cluster_id,
+      | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      | doc_id = cluster_id AS is_keeper
+      |FROM comp ORDER BY doc_id""".stripMargin
+
   /** q25: embedding near-dup — top-1 cosine neighbor per vector
     * (fixed-point dot product; bit-identical across engines). */
   def q25EmbedNearest(s: SparkSession, d: String): DataFrame =

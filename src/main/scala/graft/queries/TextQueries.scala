@@ -26,6 +26,26 @@ object TextQueries {
         |SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY token ORDER BY token""".stripMargin
 
+  /** q51: Gopher-style repetition filters — duplicate-2-gram fraction
+    * and top-2-gram coverage per document (boilerplate/spam signal). */
+  def q51Repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionStats(documents(s, d), "doc_id", "text", n = 2)
+      .orderBy(col("doc_id"))
+
+  val q51Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
+      | FROM documents),
+      |bi AS (
+      | SELECT doc_id, unnest(list_transform(range(greatest(len(tk) - 1, 0)), i -> tk[i+1] || ' ' || tk[i+2])) AS bigram
+      | FROM toks),
+      |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_distinct, max(c) AS top_c FROM cnt GROUP BY 1)
+      |SELECT doc_id, n_bigrams, n_distinct,
+      | 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS dup_frac,
+      | CAST(top_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_frac
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** q44: Porter-stemmed token statistics (C4 — the reference's Whoosh
     * StemmingAnalyzer, `indexer/indexer_node.py:63-67`). The Spark side
     * stems via the real PorterStemmer codegen expression; the DuckDB

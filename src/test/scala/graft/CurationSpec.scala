@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Curation, Dedup, TextAnalysis}
+
+/** Dedup clustering + corpus-curation operators on hand-built inputs
+  * (the DuckDB harness covers them on `documents`; these pin the edge
+  * semantics an SQL oracle can't express as directly). */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("connectedComponents: chains, cycles, singletons, label = min id") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}, {30}
+    val nodes = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L)).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (21L, 20L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L)
+    assert(got == want)
+  }
+
+  test("connectedComponents: long chain converges within diameter rounds") {
+    // a 12-node path, worst case for min-label propagation
+    val n = 12
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(0L) && got.size == n)
+  }
+
+  test("hashSplit: deterministic, partition-independent, ~80/10/10") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val s1 = Curation.hashSplit(df, "doc_id").as[(Long, String)].collect().toMap
+    val s2 = Curation.hashSplit(df.repartition(7), "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2) // resharding never moves a row across splits
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 100)
+    assert(math.abs(counts("val") - 200) < 60)
+    assert(math.abs(counts("test") - 200) < 60)
+  }
+
+  test("repetitionStats: exact fractions on a constructed document") {
+    // tokens: a b a b a b c -> bigrams: ab ba ab ba ab bc (6 total,
+    // 3 distinct, top "a b" x3)
+    val df = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .select($"n_bigrams", $"n_distinct", $"dup_frac", $"top_frac")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r == ((6L, 3L, 0.5, 0.5)))
+  }
+
+  test("domainMixWeights: alpha<1 up-weights small sources; weights sum to ~1") {
+    val docs = (Seq.fill(90)(("big", "w " * 50)) ++ Seq.fill(10)(("small", "w " * 50)))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val w = Curation.domainMixWeights(docs, "source", "text")
+      .select($"source", $"n_tokens", $"mix_weight")
+      .as[(String, Long, Double)].collect()
+      .map { case (s, n, mw) => s -> ((n, mw)) }.toMap
+    val (nBig, wBig) = w("big"); val (nSmall, wSmall) = w("small")
+    assert(math.abs(wBig + wSmall - 1.0) < 1e-5)
+    // proportional share would be 0.9; alpha-smoothing pulls it down
+    assert(wBig < 0.9 && wBig > wSmall)
+    assert(wBig / wSmall < nBig.toDouble / nSmall) // compression of the ratio
+  }
+}
