@@ -67,8 +67,9 @@ object SparkEntry {
     "q45_ivf_ann"        -> SimQueries.q45IvfAnn _,
     // rows-only check (no SQL oracle — real in-repo image codec; see q47 scaladoc)
     "q47_image_features" -> SimQueries.q47ImageFeatures _,
-    // snapshot-metadata statistics (A3/A7)
+    // snapshot-metadata statistics (A3/A7) + storage layout
     "q40_storage_stats"  -> StorageQueries.q40StorageStats _,
+    "q54_bucketed_join"  -> StorageQueries.q54BucketedJoin _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -119,5 +120,6 @@ object SparkEntry {
     "q39_lsh_cosine_pairs" -> SimQueries.q39Sql,
     "q45_ivf_ann"        -> SimQueries.q45Sql,
     "q40_storage_stats"  -> StorageQueries.q40Sql,
+    "q54_bucketed_join"  -> StorageQueries.q54Sql,
   )
 }

@@ -135,21 +135,36 @@ object Dedup {
     * the shuffle is bounded by band-bucket sizes, never n².
     * `sigs` (id, simhash — two narrow columns) is materialized once so
     * the signature aggregation isn't recomputed per join side. */
-  def simhashPairs(sigs: DataFrame, id: String, maxDist: Int, bits: Int = 16): DataFrame = {
-    require(maxDist >= 0 && maxDist + 1 <= bits, s"need >=1 bit per band: maxDist=$maxDist bits=$bits")
+  def simhashPairs(sigs: DataFrame, id: String, maxDist: Int, bits: Int = 16): DataFrame =
+    signaturePairs(sigs, id, "simhash", maxDist, bits)
+
+  /** Banded near-dup pair join over ANY integer bit-signature column up
+    * to 64 bits — the same pigeonhole construction as `simhashPairs`,
+    * reused for 64-bit image pHashes (`codec/ImageCodec.phash64`): image
+    * near-dup dedup at 100 TB is this equi-join on (band_id, band_val),
+    * never an all-pairs Hamming scan. Signatures are cast to long so
+    * band extraction is uniform; negative signatures are handled by the
+    * band mask (arithmetic shift + AND). */
+  def signaturePairs(sigs: DataFrame, id: String, sigCol: String,
+                     maxDist: Int, bits: Int = 64): DataFrame = {
+    require(maxDist >= 0 && maxDist + 1 <= bits && bits <= 64,
+      s"need >=1 bit per band: maxDist=$maxDist bits=$bits")
     val nBands = maxDist + 1
     val bandBits = bits / nBands
+    val sig = col(sigCol).cast("long")
     val bandStructs = (0 until nBands).map { bnd =>
       val lo = bnd * bandBits
       val width = if (bnd == nBands - 1) bits - lo else bandBits
-      struct(lit(bnd).as("band_id"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1 << width) - 1)).as("band_val"))
+      val shifted = shiftright(sig, lo)
+      val bandVal = if (width >= 64) shifted
+                    else shifted.bitwiseAND(lit((1L << width) - 1))
+      struct(lit(bnd).as("band_id"), bandVal.as("band_val"))
     }
     val banded = sigs.localCheckpoint()
-      .select(col(id), col("simhash"), explode(array(bandStructs: _*)).as("b"))
-      .select(col(id), col("simhash"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
-    val a = banded.select(col("band_id"), col("band_val"), col(id).as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band_id"), col("band_val"), col(id).as("doc_b"), col("simhash").as("sh_b"))
+      .select(col(id), sig.as("__sig"), explode(array(bandStructs: _*)).as("b"))
+      .select(col(id), col("__sig"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+    val a = banded.select(col("band_id"), col("band_val"), col(id).as("doc_a"), col("__sig").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_val"), col(id).as("doc_b"), col("__sig").as("sh_b"))
     a.join(b, Seq("band_id", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))

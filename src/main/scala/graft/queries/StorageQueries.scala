@@ -36,4 +36,35 @@ object StorageQueries {
     """SELECT 'documents' AS table_name, count(*) AS n_rows FROM documents
       |UNION ALL SELECT 'embeddings', count(*) FROM embeddings
       |ORDER BY table_name""".stripMargin
+
+  /** q54: co-located fact-fact join via write-side bucketing — both
+    * sides bucketed on the join key, so the join plans with ZERO
+    * shuffle Exchanges (PlanAuditSpec asserts the physical plan; this
+    * query checks the result is identical to the logical join). */
+  def q54BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("q54-bucketed").toString
+    graft.storage.Bucketing.writeBucketed(
+      lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+      "graft_q54_lineitem", s"$root/lineitem_b", "l_orderkey", 8)
+    graft.storage.Bucketing.writeBucketed(
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_q54_orders", s"$root/orders_b", "o_orderkey", 8)
+    val out = s.table("graft_q54_lineitem")
+      .join(s.table("graft_q54_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+    val rows = out.collect()
+    s.sql("DROP TABLE IF EXISTS graft_q54_lineitem")
+    s.sql("DROP TABLE IF EXISTS graft_q54_orders")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+  }
+
+  val q54Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

@@ -63,6 +63,31 @@ class CodecSpec extends AnyFunSuite {
     assert(math.abs(mean(a) - mean(px)) < 2.0, "average-pool must preserve mean luminance")
   }
 
+  test("phash near-dup pairs: 64-bit banded join == brute-force Hamming scan") {
+    // image near-dup dedup at scale: 9-band pigeonhole equi-join over
+    // phash64 must find EXACTLY the pairs a full O(n^2) Hamming scan
+    // finds at maxDist=8. Near-dups are planted as qdct re-encodes
+    // (lossy but phash-stable); the rest are unrelated images.
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val imgs: Seq[(Long, Long)] = (0 until 40).map { i =>
+      val base = SyntheticWeb.pixelsFor(42L, (i / 2).toLong, 64, 48)
+      val px = if (i % 2 == 1) ImageCodec.decode(ImageCodec.encodeQdct(base, 64, 48))._1
+               else base
+      (i.toLong, ImageCodec.phash64(px, 64, 48))
+    }
+    val brute = (for {
+      (ia, ha) <- imgs; (ib, hb) <- imgs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 8
+    } yield (ia, ib, d)).toSet
+    assert(brute.nonEmpty, "fixture must contain planted near-dups")
+    assert(brute.size < imgs.size * (imgs.size - 1) / 4, "fixture must not be all-pairs")
+    val got = graft.ops.Dedup.signaturePairs(
+        imgs.toDF("img_id", "phash"), "img_id", "phash", maxDist = 8, bits = 64)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+  }
+
   test("corrupted payload is detected by the PSNR invariant") {
     val px = SyntheticWeb.pixelsFor(42L, 9L, 32, 32)
     val bad = px.clone()

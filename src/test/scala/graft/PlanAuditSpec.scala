@@ -49,6 +49,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bucketed co-located join: zero shuffle Exchanges in the join plan") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("bucket-audit").toString
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.storage.Bucketing.writeBucketed(li, "audit_li_b", s"$root/li", "l_orderkey", 4)
+      graft.storage.Bucketing.writeBucketed(ord, "audit_ord_b", s"$root/ord", "o_orderkey", 4)
+      // disable auto-broadcast so the join genuinely exercises the
+      // bucketed-SMJ path (at 100 TB neither fact side broadcasts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("audit_li_b")
+        .join(spark.table("audit_ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == expected)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected bucketed SMJ:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS audit_li_b")
+      spark.sql("DROP TABLE IF EXISTS audit_ord_b")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("crawl seen-probe: native might_contain, no Scala UDF filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
