@@ -270,11 +270,20 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     // intra-wave first-seen-wins: pages are conceptually processed in
     // (depth, seq) order, links in document order, so the winning
     // discovery is min (parent_depth, parent_seq, pos) per canonical URL
+    // Persisted: the two-stage seen-filter fans this into two branches
+    // (definitely-new / maybe-seen). The probe predicate references only
+    // the groupBy key, so Catalyst pushes each branch's filter BELOW the
+    // aggregation — the branches' exchange subtrees then differ and
+    // ReuseExchange cannot dedupe them, recomputing the full link
+    // explode + canonicalize (the wave's widest map stage) once per
+    // branch. Materializing the post-agg rows (small: distinct URLs
+    // only) runs that stage exactly once.
     val candidates = links
       .groupBy($"url")
       .agg(min(struct($"parent_depth", $"parent_seq", $"pos", $"parent")).as("m"))
       .select($"url", $"m.parent_depth", $"m.parent_seq", $"m.pos",
         ($"m.parent_depth" + 1).as("depth"), $"m.parent")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // J1 two-stage dedup vs everything ever enqueued. Below the
     // threshold: one driver-maintained broadcast sketch (merged after
@@ -305,22 +314,38 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     // from footers, later consumers (commit reference, bloom merge)
     // read the file. No checkpoint or count jobs anywhere.
     val novelP = novel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sortedNovel = novelP.orderBy($"parent_depth", $"parent_seq", $"pos")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val novelSchema = sortedNovel.schema
-      .add("seq", LongType).add("wave", org.apache.spark.sql.types.IntegerType)
-    val wv0 = wave
-    val newEntries = spark.createDataFrame(
-        sortedNovel.rdd.zipWithIndex.map { case (r, i) =>
-          Row.fromSeq(r.toSeq :+ (maxSeq + i + 1) :+ wv0) },
-        novelSchema)
-      .select($"url", url_host($"url").as("host"), $"depth".cast("int").as("depth"),
-        $"seq", $"parent", $"wave")
-      .as[FrontierEntry]
-    val stagedFrontierDir = store.stage("frontier", newEntries.toDF())
-    sortedNovel.unpersist(blocking = false)
+    if (CrawlPipeline.traceOn) { // sub-phase attribution (trace builds only)
+      var tt = System.nanoTime()
+      val nCand = candidates.count()
+      tt = CrawlPipeline.trace(tt, s"wave $wave [sub] candidates n=$nCand")
+      val nNov = novelP.count()
+      CrawlPipeline.trace(tt, s"wave $wave [sub] seen-filter novel n=$nNov")
+    }
+    // Empty-wave short-circuit: a draining frontier (and the final wave
+    // of every crawl) discovers nothing new — isEmpty on the persisted
+    // novel set is one cheap job, versus the range-sample + sort +
+    // zipWithIndex + stage-write + footer-read chain it skips.
+    val stagedFrontierDirOpt: Option[String] = if (novelP.isEmpty) None else {
+      val sortedNovel = novelP.orderBy($"parent_depth", $"parent_seq", $"pos")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val novelSchema = sortedNovel.schema
+        .add("seq", LongType).add("wave", org.apache.spark.sql.types.IntegerType)
+      val wv0 = wave
+      val newEntries = spark.createDataFrame(
+          sortedNovel.rdd.zipWithIndex.map { case (r, i) =>
+            Row.fromSeq(r.toSeq :+ (maxSeq + i + 1) :+ wv0) },
+          novelSchema)
+        .select($"url", url_host($"url").as("host"), $"depth".cast("int").as("depth"),
+          $"seq", $"parent", $"wave")
+        .as[FrontierEntry]
+      val dir = store.stage("frontier", newEntries.toDF())
+      sortedNovel.unpersist(blocking = false)
+      Some(dir)
+    }
     novelP.unpersist(blocking = false)
-    val nNew = graft.icelite.ParquetStats.dirStat(stagedFrontierDir).rows
+    candidates.unpersist(blocking = false)
+    val nNew = stagedFrontierDirOpt
+      .map(d => graft.icelite.ParquetStats.dirStat(d).rows).getOrElse(0L)
 
     // fetchlog Δ: wave results + robots-denied finalizations (F12 routing).
     // NOTE: the wave number deliberately never appears as a literal in any
@@ -368,8 +393,10 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     t = CrawlPipeline.trace(t, s"wave $wave discover n=$nNew")
     val staged = Seq.newBuilder[(String, String)]
     if (nFetched > 0) staged += "images" -> stagedImagesDir
-    if (nNew > 0) staged += "frontier" -> stagedFrontierDir
-    else org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedFrontierDir))
+    stagedFrontierDirOpt.foreach { dir =>
+      if (nNew > 0) staged += "frontier" -> dir
+      else org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     val deltas = Seq.newBuilder[(String, DataFrame)]
     deltas += "fetchlog" -> flog
     if (nFetched > 0) {
@@ -391,8 +418,9 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     frontierState = None
     flogKeysState = None
     if (nNew > 0 && !useBuckets)
-      seenBloom.foreach(_.mergeInPlace(UrlSeen.buildBloom(
-        spark.read.parquet(stagedFrontierDir), "url", conf.bloomExpectedSeen)))
+      stagedFrontierDirOpt.foreach(dir =>
+        seenBloom.foreach(_.mergeInPlace(UrlSeen.buildBloom(
+          spark.read.parquet(dir), "url", conf.bloomExpectedSeen))))
     CrawlPipeline.trace(t, s"wave $wave commit")
     nFetched
   }
