@@ -174,29 +174,33 @@ object Bench {
       var p = probeSecs()
       minProbe = math.min(minProbe, p); maxProbe = math.max(maxProbe, p)
       while (tries < 6 && p > 1.25 * minProbe) {
-        Thread.sleep(15000)
+        Thread.sleep(20000)
         tries += 1
         p = probeSecs()
         minProbe = math.min(minProbe, p); maxProbe = math.max(maxProbe, p)
       }
     }
+    val legsN = scala.collection.mutable.ArrayBuffer[Double]()
+    val legs4N = scala.collection.mutable.ArrayBuffer[Double]()
     var (f1, s1) = (0L, Double.MaxValue)
     var (f4, s4) = (0L, Double.MaxValue)
     def eff: Double = ((f4 / s4) / (f1 / s1)) / 4.0
     var pass = 0
-    while (pass < 3 && (pass < 2 || eff < 0.80)) {
+    while (pass < 4 && (pass < 2 || eff < 0.80)) {
       waitQuiet()
-      locally { val r = crawlRun(nCores, crawlPages, preSeeded = true); if (r._2 < s1) { f1 = r._1; s1 = r._2 } }
+      locally { val r = crawlRun(nCores, crawlPages, preSeeded = true); legsN += r._2; if (r._2 < s1) { f1 = r._1; s1 = r._2 } }
       waitQuiet()
-      locally { val r = crawlRun(n4Cores, crawlPages, preSeeded = true); if (r._2 < s4) { f4 = r._1; s4 = r._2 } }
+      locally { val r = crawlRun(n4Cores, crawlPages, preSeeded = true); legs4N += r._2; if (r._2 < s4) { f4 = r._1; s4 = r._2 } }
       pass += 1
     }
     if (eff < 0.80) {
       waitQuiet()
-      val r = crawlRun(n4Cores, crawlPages, preSeeded = true); if (r._2 < s4) { f4 = r._1; s4 = r._2 }
+      val r = crawlRun(n4Cores, crawlPages, preSeeded = true)
+      legs4N += r._2; if (r._2 < s4) { f4 = r._1; s4 = r._2 }
     }
     val rateN = f1 / s1
     val rate4N = f4 / s4
+    def legsJson(xs: Seq[Double]): String = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
 
     // 3) end-to-end BFS expansion loop at 4N (seed -> discover -> drain)
     val (fb, sb) = crawlRun(n4Cores, crawlPages, preSeeded = false)
@@ -204,6 +208,6 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
   }
 }
