@@ -57,14 +57,48 @@ object ImageCodec {
 
   // ---- qdct (lossy, PSNR >= 40 dB by construction) ----
 
+  /** Per-thread scratch for the block transforms and the encoder's
+    * variable-length output buffer. The fetch hot path runs
+    * encode/decode once per page; per-call arrays (40 KB coefficients +
+    * 61 KB oversized stream buffer per 160x128 page) add up to ~13 GB
+    * of young-gen churn per 100k-page crawl leg — allocation-rate
+    * memory traffic that throttles multi-core scaling while single-core
+    * timings look fine. Only the returned payload is freshly allocated
+    * (exact-size copy); all intermediates are thread-local. */
+  private final class Scratch {
+    val block = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val freq = new Array[Double](64)
+    val grid32 = new Array[Double](32 * 32)
+    val rows32 = new Array[Double](32 * 8)
+    var buf: Array[Byte] = new Array[Byte](1 << 16)
+    def bufAtLeast(n: Int): Array[Byte] = {
+      if (buf.length < n) buf = new Array[Byte](n)
+      buf
+    }
+  }
+  private val scratchTL = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
   def encodeQdct(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
     require(pixels.length == w * h)
     val bw = (w + 7) / 8
     val bh = (h + 7) / 8
-    val coeffs = new Array[Short](bw * bh * 64)
-    val block = new Array[Double](64)
-    val tmp = new Array[Double](64)
-    val d = new Array[Double](64)
+    val s = scratchTL.get()
+    val block = s.block
+    val tmp = s.tmp
+    val d = s.freq
+    // variable-length coefficient stream, written per block as it is
+    // quantized (no intermediate coefficient array): quantized
+    // coefficients are almost all tiny (gradient + low-amplitude noise
+    // / QStep), so one signed byte covers [-127, 127]; 0x80 escapes to
+    // a 2-byte short. ~1 byte/px typical vs 2 for fixed shorts —
+    // halves lossy payload bytes through parquet/shuffle/disk.
+    val buf = s.bufAtLeast(10 + bw * bh * 64 * 3)
+    buf(0) = 'Q'.toByte; buf(1) = 'D'.toByte
+    writeInt(buf, 2, w); writeInt(buf, 6, h)
+    var p = 10
     var by = 0
     while (by < bh) {
       var bx = 0
@@ -82,28 +116,14 @@ object ImageCodec {
         dct8x8Into(block, tmp, d)
         var j = 0
         while (j < 64) {
-          coeffs((by * bw + bx) * 64 + j) = math.round(d(j) / QStep).toShort
+          val c = math.round(d(j) / QStep).toShort
+          if (c >= -127 && c <= 127) { buf(p) = c.toByte; p += 1 }
+          else { buf(p) = 0x80.toByte; buf(p + 1) = (c >> 8).toByte; buf(p + 2) = c.toByte; p += 3 }
           j += 1
         }
         bx += 1
       }
       by += 1
-    }
-    // variable-length coefficient stream: quantized coefficients are
-    // almost all tiny (gradient + low-amplitude noise / QStep), so one
-    // signed byte covers [-127, 127]; 0x80 escapes to a 2-byte short.
-    // ~1 byte/px typical vs 2 for fixed shorts — halves lossy payload
-    // bytes through parquet/shuffle/disk.
-    val buf = new Array[Byte](10 + coeffs.length * 3)
-    val hdr = header('Q' << 8 | 'D', w, h, 0)
-    System.arraycopy(hdr, 0, buf, 0, 10)
-    var p = 10
-    var k = 0
-    while (k < coeffs.length) {
-      val c = coeffs(k)
-      if (c >= -127 && c <= 127) { buf(p) = c.toByte; p += 1 }
-      else { buf(p) = 0x80.toByte; buf(p + 1) = (c >> 8).toByte; buf(p + 2) = c.toByte; p += 3 }
-      k += 1
     }
     java.util.Arrays.copyOf(buf, p)
   }
@@ -120,9 +140,10 @@ object ImageCodec {
         val bw = (w + 7) / 8
         val bh = (h + 7) / 8
         val px = new Array[Byte](w * h)
-        val block = new Array[Double](64)
-        val tmp = new Array[Double](64)
-        val sp = new Array[Double](64)
+        val s = scratchTL.get()
+        val block = s.block
+        val tmp = s.tmp
+        val sp = s.freq
         var p = 10 // sequential variable-length coefficient stream
         var by = 0
         while (by < bh) {
@@ -205,8 +226,9 @@ object ImageCodec {
   /** 64-bit perceptual hash: average-pool to 32x32, 8x8 DCT low band,
     * bit i = coefficient above the band median (DC excluded). */
   def phash64(pixels: Array[Byte], w: Int, h: Int): Long = {
+    val s = scratchTL.get()
     // average-pool to 32x32 with integer sums (deterministic)
-    val g = new Array[Double](32 * 32)
+    val g = s.grid32
     var gy = 0
     while (gy < 32) {
       var gx = 0
@@ -231,7 +253,7 @@ object ImageCodec {
     // 2D DCT-II over the 32x32 grid; take the 8x8 low-frequency corner.
     // Separable: rows then columns — 32x cheaper than the naive quad loop,
     // same fixed evaluation order (deterministic).
-    val rows = new Array[Double](32 * 8) // rows(y*8+u) = sum_x g(y,x) cos32(x,u)
+    val rows = s.rows32 // rows(y*8+u) = sum_x g(y,x) cos32(x,u)
     var y = 0
     while (y < 32) {
       var u = 0
@@ -244,7 +266,7 @@ object ImageCodec {
       }
       y += 1
     }
-    val low = new Array[Double](64)
+    val low = s.freq // free between codec calls; phash owns it here
     var v = 0
     while (v < 8) {
       var u = 0

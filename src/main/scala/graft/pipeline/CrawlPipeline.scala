@@ -190,13 +190,22 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
 
     // salted repartition: a hot host spreads over ceil(cnt/target) keys
     // (performance_optimizer.py:585-589 made real; first wave uses the
-    // same formula — counts come from this wave's own selection)
+    // same formula — counts come from this wave's own selection).
+    // Per-host counts via groupBy + broadcast join back, NOT
+    // count().over(Window.partitionBy(host)): the window form shuffles
+    // AND sorts the whole selection by host, and the hot host's rows
+    // all land in one sort partition — a serial tail exactly where the
+    // salt was supposed to remove one. The agg is map-side partial
+    // (nHosts rows cross the wire); at web scale (10^7+ hosts) the
+    // count table outgrows broadcast and the join flips to shuffle +
+    // AQE skew split, still sort-free.
     // NOTE: repartition hashes the key columns — pass (host, salt-bucket)
     // raw. Pre-modding to nPartitions values and hashing those would
     // birthday-collide into ~2/3 of the partitions with 3x skew.
-    val cntW = Window.partitionBy($"host")
+    val hostCounts = selected.groupBy($"host").agg(count(lit(1)).as("__hc"))
     val salted = selected
-      .withColumn("salt", greatest(lit(1L), floor(count(lit(1)).over(cntW) / lit(conf.hostSaltTarget))))
+      .join(broadcast(hostCounts), Seq("host"))
+      .withColumn("salt", greatest(lit(1L), floor($"__hc" / lit(conf.hostSaltTarget))))
       .repartition(conf.nPartitions, $"host", pmod($"seq", $"salt"))
       .select($"url", $"host", $"depth", $"seq")
 
