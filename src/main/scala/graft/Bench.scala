@@ -88,13 +88,19 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
-    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
-      // the leg JVM believes it has exactly `cores` CPUs, so GC/JIT/IO
-      // thread pools size accordingly — otherwise a local[1] leg on this
-      // 32-vCPU box offloads ~1.5 cores of GC+JIT to idle CPUs (measured
-      // 260% process CPU), silently deflating the N-leg time and the
-      // N->4N ratio with it. This is the "same job on an N-core machine"
-      // the scaling rule means.
+    // Bind the leg to exactly `cores` CPUs (taskset cpuset) AND size the
+    // JVM's pools for them (ActiveProcessorCount). The pinning is the
+    // "same job on an N-core cluster" the scaling rule means: cluster
+    // executors are cpuset/cfs-bound by YARN/k8s, so their GC, JIT,
+    // shuffle IO and scheduler threads compete with task threads for the
+    // same N cores. Unpinned, a local[1] leg offloads ~1.5 cores of
+    // GC+JIT+driver work to this box's idle vCPUs (measured 260% process
+    // CPU), silently deflating the N-leg time and the N->4N ratio with
+    // it. A fixed core list (0..cores-1) keeps co-tenant noise exposure
+    // identical across passes.
+    val pin = if (new java.io.File("/usr/bin/taskset").exists())
+      Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}") else Seq.empty
+    val cmd = pin ++ Seq(javaBin) ++ jvmArgs ++ Seq(
       s"-XX:ActiveProcessorCount=$cores",
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "--crawl", cores.toString, nPages.toString, preSeeded.toString)

@@ -108,7 +108,11 @@ object Similarity {
    */
   def ivfTopK(df: DataFrame, id: String, emb: String, centEvery: Int,
               nProbe: Int, querySel: Column, k: Int): DataFrame = {
+    // (id, scaled, norm2) is consumed by four subtrees (centroid pick,
+    // assignment, cell side of the probe join, query side); materialize
+    // it once — the IVF staging table every real ANN index keeps anyway.
     val base = withScaled(df, emb).select(col(id), col("scaled"), col("norm2"))
+      .localCheckpoint()
     val cents = base.filter(col(id) % centEvery === 0)
       .select(col(id).as("cid"), col("scaled").as("cs"), col("norm2").as("cn2"))
     def simToCent = cosine(dotCol(col("scaled"), col("cs")), col("norm2"), col("cn2"))
@@ -143,10 +147,18 @@ object Similarity {
         col("neighbor_id"), col("sim"))
   }
 
-  /** LSH-bucketed near-dup pairs: same bucket, cosine >= minSim. */
+  /** LSH-bucketed near-dup pairs: same bucket, cosine >= minSim.
+    *
+    * The bucketed projection is materialized ONCE (localCheckpoint)
+    * before the self-join — without it Catalyst inlines the
+    * scale + norm + nPlanes-dot-product bucket subtree into both join
+    * sides (2 full scans and 2× the plane math). On a cluster the same
+    * effect comes from persisting or staging the bucket table. */
   def lshCosinePairs(df: DataFrame, id: String, emb: String, dim: Int,
                      nPlanes: Int, minSim: Double): DataFrame = {
     val b = signLshBucket(df, id, emb, dim, nPlanes)
+      .select(col("bucket"), col(id), col("scaled"), col("norm2"))
+      .localCheckpoint()
     val a = b.select(col("bucket"), col(id).as("vec_a"), col("scaled").as("sa"), col("norm2").as("na"))
     val c = b.select(col("bucket"), col(id).as("vec_b"), col("scaled").as("sb"), col("norm2").as("nb"))
     a.join(c, Seq("bucket"))

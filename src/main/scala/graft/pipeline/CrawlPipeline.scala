@@ -287,11 +287,17 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     // explode + canonicalize (the wave's widest map stage) once per
     // branch. Materializing the post-agg rows (small: distinct URLs
     // only) runs that stage exactly once.
+    // The parent URL string is deliberately NOT in the min-struct: it is
+    // recoverable from parent_seq (seq is unique per fetched page), so
+    // carrying it would widen the wave's widest shuffle (links ≈ 20× the
+    // page count) by a ~60-byte string per row AND make every partial-min
+    // comparison a string compare. The winners join back to the fetched
+    // pages (small, column-pruned) after the seen-filter instead.
     val candidates = links
       .groupBy($"url")
-      .agg(min(struct($"parent_depth", $"parent_seq", $"pos", $"parent")).as("m"))
+      .agg(min(struct($"parent_depth", $"parent_seq", $"pos")).as("m"))
       .select($"url", $"m.parent_depth", $"m.parent_seq", $"m.pos",
-        ($"m.parent_depth" + 1).as("depth"), $"m.parent")
+        ($"m.parent_depth" + 1).as("depth"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // J1 two-stage dedup vs everything ever enqueued. Below the
@@ -340,10 +346,18 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       val novelSchema = sortedNovel.schema
         .add("seq", LongType).add("wave", org.apache.spark.sql.types.IntegerType)
       val wv0 = wave
+      // Recover the parent URL by joining the winners back to this
+      // wave's fetched pages on parent_seq (unique). The fetched side is
+      // a column-pruned parquet read ((seq, url) only); at bench scale
+      // it broadcasts, at 10^7-page waves it flips to a shuffle join —
+      // either is far cheaper than shuffling the parent string through
+      // the 20×-larger exploded-link aggregation above.
+      val parents = fetched.select($"seq".as("parent_seq"), $"url".as("parent"))
       val newEntries = spark.createDataFrame(
           sortedNovel.rdd.zipWithIndex.map { case (r, i) =>
             Row.fromSeq(r.toSeq :+ (maxSeq + i + 1) :+ wv0) },
           novelSchema)
+        .join(parents, Seq("parent_seq"))
         .select($"url", url_host($"url").as("host"), $"depth".cast("int").as("depth"),
           $"seq", $"parent", $"wave")
         .as[FrontierEntry]
@@ -388,15 +402,27 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       $"caption".as("content"),
       $"host".as("domain"), $"wave".as("crawl_wave"))
 
-    // metrics + lineage Δ (A1 counters, per-partition attribution)
-    val metrics = fetched.groupBy($"wave", $"pid".as("partitionId"))
+    // metrics + lineage Δ (A1 counters, per-partition attribution).
+    // Both are aggregates of the same staged scan at different grains;
+    // one pass computes the finer (wave, partition, executor) grain and
+    // is materialized (localCheckpoint — one row per fetch task, trivially
+    // small), then metrics re-aggregates those rows driver-free. Written
+    // separately, each table's commit job would re-scan the staged
+    // parquet — two full column-pruned scans where one suffices.
+    val perPart = fetched.groupBy($"wave", $"pid".as("partitionId"), $"executor")
       .agg(sum(when($"success", 1L).otherwise(0L)).as("fetched"),
         sum(when(!$"success", 1L).otherwise(0L)).as("failed"),
         sum($"nLinks").cast("long").as("linksExtracted"),
-        sum($"nBytes").as("bytesWritten"))
+        sum($"nBytes").as("bytesWritten"),
+        count(lit(1)).as("nRows"))
+      .localCheckpoint()
+    val metrics = perPart.groupBy($"wave", $"partitionId")
+      .agg(sum($"fetched").as("fetched"), sum($"failed").as("failed"),
+        sum($"linksExtracted").as("linksExtracted"),
+        sum($"bytesWritten").as("bytesWritten"))
       .withColumn("newUrls", lit(null).cast("long"))
-    val lineage = fetched.groupBy($"wave", $"pid".as("partitionId"), $"executor")
-      .agg(count(lit(1)).as("nRows"))
+    val lineage = perPart
+      .select($"wave", $"partitionId", $"executor", $"nRows")
       .withColumn("stage", lit("fetch"))
 
     t = CrawlPipeline.trace(t, s"wave $wave discover n=$nNew")
