@@ -96,10 +96,12 @@ object Bench {
     // same N cores. Unpinned, a local[1] leg offloads ~1.5 cores of
     // GC+JIT+driver work to this box's idle vCPUs (measured 260% process
     // CPU), silently deflating the N-leg time and the N->4N ratio with
-    // it. A fixed core list (0..cores-1) keeps co-tenant noise exposure
-    // identical across passes.
+    // it. The cpuset is chosen per leg as the currently-idlest cores
+    // (/proc/stat sampled over 400 ms): a pinned leg cannot migrate off
+    // a core a co-tenant camps on, so pinning to fixed core 0..N-1 turns
+    // one noisy neighbor into a 2x leg — dodge it at launch instead.
     val pin = if (new java.io.File("/usr/bin/taskset").exists())
-      Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}") else Seq.empty
+      Seq("/usr/bin/taskset", "-c", idlestCores(cores).mkString(",")) else Seq.empty
     val cmd = pin ++ Seq(javaBin) ++ jvmArgs ++ Seq(
       s"-XX:ActiveProcessorCount=$cores",
       "-cp", System.getProperty("java.class.path"),
@@ -123,17 +125,53 @@ object Bench {
     }
   }
 
-  /** Fixed single-thread arithmetic workload (~0.3 s on a quiet core).
-    * Times only raw CPU, so it detects host co-tenancy windows (this
-    * box swings 2-3x for minutes at a time — measured 30 s and 86 s for
-    * the SAME crawl leg an hour apart). Legs launched inside a slow
-    * window measure the neighbors, not the engine. */
-  private def probeSecs(): Double = {
+  /** The `n` currently-idlest CPUs by /proc/stat busy-delta over 400 ms
+    * (falls back to 0..n-1 if unreadable). */
+  private def idlestCores(n: Int): Seq[Int] = {
+    def snap(): Map[Int, (Long, Long)] = try {
+      scala.io.Source.fromFile("/proc/stat").getLines()
+        .filter(l => l.startsWith("cpu") && l.length > 3 && l(3).isDigit)
+        .map { l =>
+          val p = l.trim.split("\\s+")
+          val cpu = p(0).drop(3).toInt
+          val fields = p.drop(1).map(_.toLong)
+          val idle = fields(3) + (if (fields.length > 4) fields(4) else 0L) // idle+iowait
+          (cpu, (fields.sum, idle))
+        }.toMap
+    } catch { case _: Exception => Map.empty }
+    val a = snap(); Thread.sleep(400); val b = snap()
+    if (a.isEmpty || b.isEmpty) (0 until n)
+    else b.keysIterator.toSeq.sorted
+      .map { c =>
+        val (t0, i0) = a.getOrElse(c, (0L, 0L)); val (t1, i1) = b(c)
+        val total = math.max(1L, t1 - t0)
+        c -> ((total - (i1 - i0)).toDouble / total) // busy fraction
+      }
+      .sortBy { case (c, busy) => (busy, c) }
+      .take(n).map(_._1).sorted
+  }
+
+  /** Fixed arithmetic workload (~0.3 s single-thread on a quiet core),
+    * run on `threads` threads; returns wall seconds for all to finish.
+    * Single-thread form detects per-core co-tenancy windows (this box
+    * swings 2-3x for minutes at a time — measured 30 s and 86 s for the
+    * SAME crawl leg an hour apart); the 4-thread form additionally
+    * catches host-wide overcommit that leaves one core fast while
+    * parallel legs starve (observed: quiet 1-thread probes throughout a
+    * window where every 4-core leg ran 1.7-3x slow). Legs launched
+    * inside a slow window measure the neighbors, not the engine. */
+  private def probeSecs(threads: Int = 1): Double = {
     val t0 = System.nanoTime()
-    var x = 1234567L
-    var i = 0
-    while (i < 150000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
-    if (x == 42L) System.err.print("") // keep the loop live
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => {
+        var x = 1234567L
+        var i = 0
+        while (i < 150000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        if (x == 42L) System.err.print("") // keep the loop live
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -175,15 +213,21 @@ object Bench {
     // (c) stop early once two passes agree the efficiency target is met.
     var minProbe = probeSecs()
     var maxProbe = minProbe
+    var minProbe4 = probeSecs(4)
+    var maxProbe4 = minProbe4
     def waitQuiet(): Unit = {
       var tries = 0
       var p = probeSecs()
+      var p4 = probeSecs(4)
       minProbe = math.min(minProbe, p); maxProbe = math.max(maxProbe, p)
-      while (tries < 6 && p > 1.25 * minProbe) {
+      minProbe4 = math.min(minProbe4, p4); maxProbe4 = math.max(maxProbe4, p4)
+      while (tries < 10 && (p > 1.25 * minProbe || p4 > 1.3 * minProbe4)) {
         Thread.sleep(20000)
         tries += 1
         p = probeSecs()
+        p4 = probeSecs(4)
         minProbe = math.min(minProbe, p); maxProbe = math.max(maxProbe, p)
+        minProbe4 = math.min(minProbe4, p4); maxProbe4 = math.max(maxProbe4, p4)
       }
     }
     val legsN = scala.collection.mutable.ArrayBuffer[Double]()
@@ -214,6 +258,6 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
   }
 }

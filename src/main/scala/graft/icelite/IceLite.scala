@@ -120,6 +120,12 @@ class IceLite(val root: String) {
       acc + (t -> (acc.getOrElse(t, Seq.empty) :+ ParquetStats.dirStat(dir)))
     }
 
+    publish(id, parent, meta, merged)
+  }
+
+  /** Write manifest `id` and atomically swap `_head` to it. */
+  private def publish(id: Long, parent: Option[Long], meta: Map[String, String],
+                      merged: Map[String, Seq[ParquetStats.DirStat]]): Long = {
     val sb = new StringBuilder
     sb.append(s"parent\t${parent.getOrElse(-1L)}\n")
     meta.foreach { case (k, v) =>
@@ -142,6 +148,43 @@ class IceLite(val root: String) {
     Files.move(headTmp, headPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     id
+  }
+
+  /**
+   * Compact a table's delta dirs into one dir of ~`targetFileBytes`
+   * files and commit the rewrite as a new snapshot (Iceberg's rewrite-
+   * data-files action). A wave-per-delta layout accretes one small dir
+   * per commit — after 10^3 waves every reader unions 10^3 dirs of
+   * kilobyte files and scan planning outgrows the data. Compaction is
+   * the standing answer: rewrite N dirs -> ceil(bytes/target) right-
+   * sized files, publish atomically, leave prior snapshots' manifests
+   * pointing at the old dirs (time travel intact; physical cleanup of
+   * unreferenced dirs is a separate vacuum concern, as in Iceberg).
+   *
+   * Readers of the compacted snapshot see identical rows — order is not
+   * part of the table contract (readers that need one sort by seq/wave).
+   * Returns the new snapshot id, or None when the table already has at
+   * most one data dir (nothing to compact).
+   */
+  def compact(spark: SparkSession, table: String,
+              targetFileBytes: Long = 128L << 20): Option[Long] = {
+    currentSnapshotId.flatMap { head =>
+      val m = manifest(head)
+      val dirs = m.tables.getOrElse(table, Seq.empty)
+      if (dirs.size <= 1) None
+      else {
+        val id = head + 1L
+        val totalBytes = m.stats.getOrElse(table, Seq.empty).map(_.bytes).filter(_ > 0).sum
+        val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+        val dir = Paths.get(root, table, s"c$id").toString
+        // coalesce, not repartition: file-count reduction needs no shuffle
+        spark.read.parquet(dirs: _*).coalesce(nFiles)
+          .write.mode("overwrite").parquet(dir)
+        val merged = m.stats - table +
+          (table -> Seq(ParquetStats.dirStat(dir)))
+        Some(publish(id, Some(head), m.meta + ("compacted" -> table), merged))
+      }
+    }
   }
 
   /** Read a table as of a snapshot (default: head). Empty-with-schema if

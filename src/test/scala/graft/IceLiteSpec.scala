@@ -49,6 +49,38 @@ class IceLiteSpec extends AnyFunSuite {
     assert(s.read(spark, "a").where($"v" === "orphan").count() == 0)
   }
 
+  test("compact: rewrites N delta dirs to one, preserves rows + time travel") {
+    val root = Files.createTempDirectory("icelite").toString
+    val store = new IceLite(root)
+    // 8 waves of small deltas on `a`, one delta on `b`
+    (1 to 8).foreach { w =>
+      store.commit(Seq("a" -> (w * 100L until w * 100L + 5L).map(i => (i, s"v$i"))
+        .toDF("id", "v")), Map("wave" -> w.toString))
+    }
+    store.commit(Seq("b" -> Seq((1L, 2.0)).toDF("id", "w")), Map("wave" -> "9"))
+    val preHead = store.currentSnapshotId.get
+    val preRows = store.read(spark, "a").orderBy("id").collect().toSeq
+    val (preCount, _, preFiles) = store.tableStat("a").get
+
+    val cid = store.compact(spark, "a").get
+    assert(store.currentSnapshotId.contains(cid))
+    // identical rows, strictly fewer dirs/files
+    assert(store.read(spark, "a").orderBy("id").collect().toSeq == preRows)
+    val (rows, bytes, files) = store.tableStat("a").get
+    assert(rows == preCount && files < preFiles && bytes > 0)
+    // untouched table carried forward; head commit meta (wave) survives
+    // the compaction snapshot so resume still finds its wave counter
+    assert(store.read(spark, "b").count() == 1)
+    assert(store.commitMeta(cid).get("wave").contains("9"))
+    // time travel: the pre-compaction snapshot still reads the old dirs
+    assert(store.read(spark, "a", Some(preHead)).count() == preCount)
+    // appends continue normally on top of the compacted snapshot
+    store.commit(Seq("a" -> Seq((9999L, "z")).toDF("id", "v")))
+    assert(store.read(spark, "a").count() == preCount + 1)
+    // nothing to do when a single dir remains
+    assert(new IceLite(root).compact(spark, "b").isEmpty)
+  }
+
   test("empty read with schema for absent tables") {
     val root = Files.createTempDirectory("icelite").toString
     val store = new IceLite(root)
