@@ -385,8 +385,12 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
           bytes = null, caption = null, w = 0, h = 0, fmt = null, phash = 0L,
           nLinks = 0, nBytes = 0L)
       }
-    val flog = fetched.drop("bytes", "caption", "outLinks")
-      .unionByName(deniedLog.toDF().drop("bytes", "caption", "outLinks"))
+    // With no robots rules, `denied` is empty by construction — skip the
+    // union branch entirely: even an empty distinct+encode subtree costs
+    // a shuffle stage + job setup per wave.
+    val flog = if (robots.isEmpty) fetched.drop("bytes", "caption", "outLinks")
+      else fetched.drop("bytes", "caption", "outLinks")
+        .unionByName(deniedLog.toDF().drop("bytes", "caption", "outLinks"))
 
     // images Δ = the staged fetch parquet itself (S5 content sink): it
     // carries the input_hint schema columns — imageId(image_id-class
