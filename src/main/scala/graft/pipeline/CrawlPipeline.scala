@@ -28,7 +28,11 @@ case class CrawlConfig(
     // sketch table (UrlSeen.filterNewBucketed) — a ~10^10-key frontier
     // cannot ship a single 12 GB sketch to every task
     seenBucketsThreshold: Long = 100000000L,
-    seenBuckets: Int = 4096)
+    seenBuckets: Int = 4096,
+    // compact the log tables' wave-per-delta dirs every k waves (0 = off):
+    // a politeness-bound crawl accretes one small dir per table per wave,
+    // and past ~10^3 waves scan planning outgrows the data (IceLite.compact)
+    compactEveryWaves: Int = 0)
 
 /**
  * The crawl engine (SURVEY.md §3.1): a batch-iterative wave loop where
@@ -474,7 +478,17 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     var fetchedSomething = true
     while (fetchedSomething && wave < startWave + maxWaves) {
       fetchedSomething = runWave(wave) > 0
-      if (fetchedSomething) wave += 1
+      if (fetchedSomething) {
+        // periodic log-table compaction (images excluded: payload dirs
+        // are already write-once-right-sized and must never be rewritten)
+        if (conf.compactEveryWaves > 0 && wave % conf.compactEveryWaves == 0) {
+          Seq("frontier", "fetchlog", "metrics", "lineage")
+            .foreach(t => store.compact(spark, t))
+          frontierState = None // re-resolve against the compacted manifest
+          flogKeysState = None
+        }
+        wave += 1
+      }
     }
     wave - 1
   }

@@ -167,9 +167,12 @@ class CrawlParitySpec extends AnyFunSuite {
     // 3 hosts with budget 1/host/wave forces ~55 waves over 160 pages —
     // exercises the per-wave state re-resolution (no union-depth growth,
     // no checkpoint accumulation) far past typical wave counts
+    // compactEveryWaves=16: the crawl must stay oracle-exact THROUGH
+    // periodic log-table rewrites (compaction-transparency), and the
+    // final fetchlog must hold far fewer data dirs than waves ran
     val longWeb = SyntheticWeb.generate(seed = 7L, nHosts = 3, nPages = 160)
     val c = CrawlConfig(waveSeconds = 1.0, nPartitions = 4,
-      hostSaltTarget = 4, bloomExpectedSeen = 10000)
+      hostSaltTarget = 4, bloomExpectedSeen = 10000, compactEveryWaves = 16)
     val root = Files.createTempDirectory("crawlL").toString
     val fetcher: Fetcher = SyntheticFetcher.forWeb(longWeb)
     val p = new CrawlPipeline(spark, new IceLite(root),
@@ -184,6 +187,15 @@ class CrawlParitySpec extends AnyFunSuite {
       .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     val wantF = want.frontier.map { case (u, e) => u -> ((e.depth, e.seq.toLong, e.wave)) }
     assert(got == wantF, "long-crawl frontier must stay oracle-exact")
+    // fetchlog saw one delta dir per wave (>50) pre-compaction; the
+    // periodic rewrite must have collapsed all but the post-compaction tail
+    val gotFlog = st.read(spark, "fetchlog")
+      .select($"url", $"wave", $"status").as[(String, Int, Int)].collect().toSet
+    val wantFlog = want.fetches.map { case (u, f) => (u, f.wave, f.status) }.toSet
+    assert(gotFlog == wantFlog, "compacted fetchlog must stay oracle-exact")
+    val (_, _, flogFiles) = st.tableStat("fetchlog").get
+    assert(flogFiles < lastWave / 2,
+      s"fetchlog has $flogFiles files after $lastWave waves — compaction did not run")
   }
 
   test("v1 FIFO/BFS parity: with unconstrained politeness, seq order == FIFO order") {
