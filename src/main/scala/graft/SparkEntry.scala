@@ -38,6 +38,7 @@ object SparkEntry {
     "q17_scheme_filter"  -> UrlQueries.q17SchemeFilter _,
     "q18_domain_agg"     -> UrlQueries.q18DomainAgg _,
     "q43_seed_normalize" -> UrlQueries.q43SeedNormalize _,
+    "q55_robots_filter" -> UrlQueries.q55RobotsFilter _,
     // text analysis (training-data ops)
     "q13_token_freq"     -> TextQueries.q13TokenFreq _,
     "q26_lang_id"        -> TextQueries.q26LangId _,
@@ -96,6 +97,7 @@ object SparkEntry {
     "q17_scheme_filter"  -> UrlQueries.q17Sql,
     "q18_domain_agg"     -> UrlQueries.q18Sql,
     "q43_seed_normalize" -> UrlQueries.q43Sql,
+    "q55_robots_filter" -> UrlQueries.q55Sql,
     "q13_token_freq"     -> TextQueries.q13Sql,
     "q26_lang_id"        -> TextQueries.q26Sql,
     "q27_quality_score"  -> TextQueries.q27Sql,

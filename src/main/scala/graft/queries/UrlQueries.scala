@@ -130,4 +130,48 @@ object UrlQueries {
       |  WHEN 1 THEN concat('https://example', doc_id % 9, '.test/x/', doc_id)
       |  ELSE concat('http://example', doc_id % 9, '.test/y/', doc_id) END AS url_c
       |FROM documents WHERE doc_id % 5 NOT IN (2, 3) ORDER BY doc_id""".stripMargin
+
+  /** q55: robots allow predicate (F4/J3/J4) end-to-end — raw robots.txt
+    * bodies parsed by RobotsTxt (the reference's RobotFileParser grammar,
+    * `crawler/crawler_node.py:33-55`), broadcast-joined to the URL set,
+    * prefix-tested with pure column logic (`exists` over the disallow
+    * array, no UDF), permissive default + default crawl-delay where no
+    * robots row exists. The oracle states each (host, path-family)
+    * verdict the parsed bodies imply. */
+  def q55RobotsFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rules = Seq(
+      graft.robots.RobotsTxt.toRule("h0.example.test",
+        "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"),
+      graft.robots.RobotsTxt.toRule("h1.example.test",
+        "User-agent: *\nDisallow: /tmp/\nDisallow: /private/\n"))
+      .map(r => (r.host, r.disallowPrefixes, r.crawlDelay))
+      .toDF("host", "disallow_prefixes", "crawl_delay")
+    val id = $"doc_id".cast("string")
+    val path = when($"doc_id" % 3 === 0, concat(lit("/p/"), id))
+      .when($"doc_id" % 3 === 1, concat(lit("/private/"), id))
+      .otherwise(concat(lit("/tmp/"), id))
+    documents(s, d)
+      .select($"doc_id",
+        concat(lit("h"), ($"doc_id" % 4).cast("string"), lit(".example.test")).as("host"),
+        path.as("path"))
+      .join(broadcast(rules), Seq("host"), "left")
+      .withColumn("allowed", $"disallow_prefixes".isNull ||
+        !exists($"disallow_prefixes", p => startswith($"path", p)))
+      .withColumn("delay", coalesce($"crawl_delay", lit(1.0)))
+      .select($"doc_id", $"host", $"path", $"allowed", $"delay")
+      .orderBy($"doc_id")
+  }
+
+  val q55Sql: String =
+    """SELECT doc_id,
+      | concat('h', doc_id % 4, '.example.test') AS host,
+      | CASE doc_id % 3 WHEN 0 THEN concat('/p/', doc_id)
+      |  WHEN 1 THEN concat('/private/', doc_id)
+      |  ELSE concat('/tmp/', doc_id) END AS path,
+      | CASE WHEN doc_id % 4 = 0 AND doc_id % 3 = 1 THEN false
+      |      WHEN doc_id % 4 = 1 AND doc_id % 3 IN (1, 2) THEN false
+      |      ELSE true END AS allowed,
+      | CASE WHEN doc_id % 4 = 0 THEN 2.0 ELSE 1.0 END AS delay
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
