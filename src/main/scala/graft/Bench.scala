@@ -229,7 +229,9 @@ object Bench {
       var p4 = probeSecs(4)
       minProbe = math.min(minProbe, p); maxProbe = math.max(maxProbe, p)
       minProbe4 = math.min(minProbe4, p4); maxProbe4 = math.max(maxProbe4, p4)
-      while (tries < 10 && (p > 1.25 * minProbe || p4 > 1.3 * minProbe4)) {
+      // short: the decisive noise gate is the in-leg warmup crawl (below);
+      // the ALU probes only skim the worst windows cheaply first
+      while (tries < 4 && (p > 1.25 * minProbe || p4 > 1.3 * minProbe4)) {
         Thread.sleep(20000)
         tries += 1
         p = probeSecs()
@@ -263,7 +265,8 @@ object Bench {
         else { legs4N += s; if (s < s4) { f4 = f; s4 = s } }
         clean = w <= 1.30 * wb
         attempts += 1
-        if (!clean && attempts < 3) Thread.sleep(20000)
+        System.err.println(f"[bench] leg cores=$cores secs=$s%.1f warm=$w%.1f (best $wb%.1f) clean=$clean")
+        if (!clean && attempts < 3) Thread.sleep(10000)
       }
     }
     // Alternate N/4N passes, min per side, until the target ratio is
@@ -272,7 +275,7 @@ object Bench {
     val tBench0 = System.nanoTime()
     def elapsedMin: Double = (System.nanoTime() - tBench0) / 6e10
     var pass = 0
-    while ((pass < 2 || eff < 0.80) && pass < 6 && elapsedMin < 22) {
+    while ((pass < 2 || eff < 0.80) && pass < 5 && elapsedMin < 18) {
       runLeg(nCores)
       runLeg(n4Cores)
       pass += 1
