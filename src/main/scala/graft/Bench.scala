@@ -252,28 +252,56 @@ object Bench {
     // count ran inside a noisy window — its time still counts toward
     // the recorded mins (noise only ADDS time), but the leg is retried
     // after a pause instead of being trusted.
-    val warmBest = scala.collection.mutable.Map[Int, Double]()
+    // Session bests are seeded from a tmpdir cache persisted across
+    // invocations: the first leg of a run otherwise defines its own
+    // "best" and sails through clean even inside a noisy window (the
+    // warmup is always 2000 pages, so values compare across runs). A
+    // stale too-low floor costs at most the retry cap, never a loop.
+    val tBench0 = System.nanoTime()
+    def elapsedMin: Double = (System.nanoTime() - tBench0) / 6e10
+    val bestCache = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bench_best.tsv")
+    val bests = scala.collection.mutable.Map[String, Double]()
+    try {
+      if (java.nio.file.Files.exists(bestCache))
+        new String(java.nio.file.Files.readAllBytes(bestCache), "UTF-8")
+          .linesIterator.map(_.split("\t")).filter(_.length == 2)
+          .foreach(a => bests(a(0)) = a(1).toDouble)
+    } catch { case _: Exception => () }
+    def improve(key: String, v: Double): Double = {
+      val b = math.min(bests.getOrElse(key, v), v)
+      bests(key) = b
+      try java.nio.file.Files.write(bestCache,
+        bests.map { case (k, w) => s"$k\t$w" }.mkString("\n").getBytes("UTF-8"))
+      catch { case _: Exception => () }
+      b
+    }
+    def warmBest(cores: Int): Double = bests.getOrElse(s"w$cores", -1.0)
+    // A leg counts as clean only when BOTH its warmup and its own time
+    // land near the best ever recorded for this (cores, pages) — mid-leg
+    // noise after a quiet warmup is common (measured 36 s legs behind
+    // 13 s quiet warmups). Dirty legs still feed the recorded mins
+    // (noise only adds time); they just trigger a retry while the pass/
+    // wall budget lasts.
     def runLeg(cores: Int): Unit = {
       var attempts = 0
       var clean = false
-      while (!clean && attempts < 3) {
+      while (!clean && attempts < 3 && elapsedMin < 18) {
         waitQuiet()
         val (f, s, w) = crawlRun(cores, crawlPages, preSeeded = true)
-        val wb = math.min(warmBest.getOrElse(cores, w), w)
-        warmBest(cores) = wb
+        val wb = improve(s"w$cores", w)
+        val sb = improve(s"l$cores:$crawlPages", s)
         if (cores == nCores) { legsN += s; if (s < s1) { f1 = f; s1 = s } }
         else { legs4N += s; if (s < s4) { f4 = f; s4 = s } }
-        clean = w <= 1.30 * wb
+        clean = w <= 1.30 * wb && s <= 1.40 * sb
         attempts += 1
-        System.err.println(f"[bench] leg cores=$cores secs=$s%.1f warm=$w%.1f (best $wb%.1f) clean=$clean")
+        System.err.println(f"[bench] leg cores=$cores secs=$s%.1f (best $sb%.1f) warm=$w%.1f (best $wb%.1f) clean=$clean")
         if (!clean && attempts < 3) Thread.sleep(10000)
       }
     }
     // Alternate N/4N passes, min per side, until the target ratio is
     // met or the pass/wall budget runs out (the budget bounds driver-
     // side bench time on a hopelessly noisy host).
-    val tBench0 = System.nanoTime()
-    def elapsedMin: Double = (System.nanoTime() - tBench0) / 6e10
     var pass = 0
     while ((pass < 2 || eff < 0.80) && pass < 5 && elapsedMin < 18) {
       runLeg(nCores)
@@ -290,6 +318,6 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"warmup_best_n":${warmBest.getOrElse(nCores, -1.0)}%.2f,"warmup_best_4n":${warmBest.getOrElse(n4Cores, -1.0)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"warmup_best_n":${warmBest(nCores)}%.2f,"warmup_best_4n":${warmBest(n4Cores)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
   }
 }

@@ -49,6 +49,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q39/q45: ANN scale paths join the materialized table, not the corpus") {
+    // lshCosinePairs/ivfTopK localCheckpoint their (id, scaled, norm2[,
+    // bucket]) projections before self-joining: the executed plan must
+    // read the materialized RDD on every side and never re-scan the
+    // embeddings parquet (the q21-class re-compute regression for vectors)
+    for (name <- Seq("q39_lsh_cosine_pairs", "q45_ivf_ann")) {
+      val p = plan(name)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 0, s"$name re-scans the corpus $scans times:\n${p.take(2000)}")
+    }
+  }
+
+  test("q55: robots rules broadcast; prefix predicate is pure column logic") {
+    val p = plan("q55_robots_filter")
+    assert(p.contains("BroadcastHashJoin"), s"robots join is not broadcast:\n$p")
+    assert(!p.contains("ScalaUDF"), "robots predicate fell back to a UDF")
+  }
+
   test("bucketed co-located join: zero shuffle Exchanges in the join plan") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("bucket-audit").toString
