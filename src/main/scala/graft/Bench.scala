@@ -293,7 +293,7 @@ object Bench {
         val sb = improve(s"l$cores:$crawlPages", s)
         if (cores == nCores) { legsN += s; if (s < s1) { f1 = f; s1 = s } }
         else { legs4N += s; if (s < s4) { f4 = f; s4 = s } }
-        clean = w <= 1.30 * wb && s <= 1.40 * sb
+        clean = w <= 1.25 * wb && s <= 1.30 * sb
         attempts += 1
         System.err.println(f"[bench] leg cores=$cores secs=$s%.1f (best $sb%.1f) warm=$w%.1f (best $wb%.1f) clean=$clean")
         if (!clean && attempts < 3) Thread.sleep(10000)
