@@ -32,6 +32,7 @@ object SparkEntry {
     "q41_response_stats" -> Relational.q41ResponseStats _,
     "q42_json_roundtrip" -> Relational.q42JsonRoundtrip _,
     "q48_time_math"      -> Relational.q48TimeMath _,
+    "q56_liveness"       -> Relational.q56Liveness _,
     // URL ops (§2.2/§2.7, custom Catalyst expressions)
     "q15_canonicalize"   -> UrlQueries.q15Canonicalize _,
     "q16_resolve_url"    -> UrlQueries.q16Resolve _,
@@ -92,6 +93,7 @@ object SparkEntry {
     "q41_response_stats" -> Relational.q41Sql,
     "q42_json_roundtrip" -> Relational.q42Sql,
     "q48_time_math"      -> Relational.q48Sql,
+    "q56_liveness"       -> Relational.q56Sql,
     "q15_canonicalize"   -> UrlQueries.q15Sql,
     "q16_resolve_url"    -> UrlQueries.q16Sql,
     "q17_scheme_filter"  -> UrlQueries.q17Sql,

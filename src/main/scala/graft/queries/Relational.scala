@@ -368,6 +368,39 @@ object Relational {
       | CAST(count(*) AS DOUBLE) * 60.0 / CAST(CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS DOUBLE) AS per_minute
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q56: heartbeat-liveness probe (J7): the reference master marks a
+    * crawler dead when no heartbeat arrived within the timeout window
+    * (30 s cadence / 60 s timeout, `crawler/crawler_node.py:123-138`,
+    * `master/master_node.py:189-201`). Analogue over the events table:
+    * per reporter (user_id), last-seen epoch vs the global max, dead
+    * when silent longer than the timeout (24 h here — the table spans
+    * 30 days at ~10 h inter-event gaps, so the scaled window yields a
+    * live/dead mix like the reference's). The global max is a one-row
+    * broadcast — no second shuffle and no window function; the per-key
+    * agg is the only exchange, so the plan holds at any reporter count. */
+  def q56Liveness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val globalMax = ev.agg(unix_timestamp(max($"ts")).as("global_max_epoch"))
+    ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        unix_timestamp(max($"ts")).as("last_epoch"))
+      .crossJoin(broadcast(globalMax))
+      .withColumn("status",
+        when($"last_epoch" < $"global_max_epoch" - 86400L, lit("dead"))
+          .otherwise(lit("alive")))
+      .select($"user_id", $"n_events", $"last_epoch", $"status")
+      .orderBy($"user_id")
+  }
+
+  val q56Sql: String =
+    """WITH g AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS global_max_epoch FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      | CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch,
+      | CASE WHEN CAST(floor(epoch(max(ts))) AS BIGINT) < (SELECT global_max_epoch FROM g) - 86400
+      |      THEN 'dead' ELSE 'alive' END AS status
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q32: error/success routing counts (F12: route by outcome class). */
   def q32ErrorRouting(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
