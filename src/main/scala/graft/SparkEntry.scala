@@ -49,6 +49,7 @@ object SparkEntry {
     "q34_bm25_search"    -> TextQueries.q34Bm25 _,
     "q44_stemmed_tokens" -> TextQueries.q44StemmedTokens _,
     "q46_bm25f_search"   -> TextQueries.q46Bm25fSearch _,
+    "q57_pii_scrub"      -> TextQueries.q57PiiScrub _,
     // dedup (training-data ops)
     "q20_dedup_exact"    -> DedupQueries.q20DedupExact _,
     "q21_minhash_lsh"    -> DedupQueries.q21MinhashLsh _,
@@ -56,11 +57,13 @@ object SparkEntry {
     "q23_ngram_jaccard"  -> DedupQueries.q23NgramJaccard _,
     "q25_embed_nearest"  -> DedupQueries.q25EmbedNearest _,
     "q38_simhash_pairs"  -> DedupQueries.q38SimhashPairs _,
+    "q59_phash_pairs"    -> DedupQueries.q59PhashPairs _,
     "q49_dup_clusters"   -> DedupQueries.q49DupClusters _,
     // corpus curation (training-data ops)
     "q50_hash_split"     -> CurationQueries.q50HashSplit _,
     "q51_repetition"     -> TextQueries.q51Repetition _,
     "q53_domain_mix"     -> CurationQueries.q53DomainMix _,
+    "q58_curation_pipe"  -> CurationQueries.q58CurationPipeline _,
     // similarity search + multimodal
     "q24_knn_cosine"     -> SimQueries.q24KnnCosine _,
     "q36_multimodal_meta" -> SimQueries.q36MultimodalMeta _,
@@ -108,16 +111,19 @@ object SparkEntry {
     "q34_bm25_search"    -> TextQueries.q34Sql,
     "q44_stemmed_tokens" -> TextQueries.q44Sql,
     "q46_bm25f_search"   -> TextQueries.q46Sql,
+    "q57_pii_scrub"      -> TextQueries.q57Sql,
     "q20_dedup_exact"    -> DedupQueries.q20Sql,
     "q21_minhash_lsh"    -> DedupQueries.q21Sql,
     "q22_simhash"        -> DedupQueries.q22Sql,
     "q23_ngram_jaccard"  -> DedupQueries.q23Sql,
     "q25_embed_nearest"  -> DedupQueries.q25Sql,
     "q38_simhash_pairs"  -> DedupQueries.q38Sql,
+    "q59_phash_pairs"    -> DedupQueries.q59Sql,
     "q49_dup_clusters"   -> DedupQueries.q49Sql,
     "q50_hash_split"     -> CurationQueries.q50Sql,
     "q51_repetition"     -> TextQueries.q51Sql,
     "q53_domain_mix"     -> CurationQueries.q53Sql,
+    "q58_curation_pipe"  -> CurationQueries.q58Sql,
     "q24_knn_cosine"     -> SimQueries.q24Sql,
     "q36_multimodal_meta" -> SimQueries.q36Sql,
     "q37_frame_sample"   -> SimQueries.q37Sql,

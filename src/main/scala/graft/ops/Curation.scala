@@ -21,6 +21,13 @@ object Curation {
     conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") % 100
 
+  /** The split label as a composable column (for pipelines that tag
+    * rows in place rather than projecting down to (id, split)). */
+  def splitCol(idCol: Column, trainPct: Int = 80, valPct: Int = 10): Column =
+    when(hashBucket(idCol) < trainPct, lit("train"))
+      .when(hashBucket(idCol) < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+
   /**
    * Deterministic train/val/test assignment by content-independent id
    * hash (trainPct / valPct / remainder). A `rand()`-based split would
@@ -30,10 +37,7 @@ object Curation {
    */
   def hashSplit(df: DataFrame, id: String,
                 trainPct: Int = 80, valPct: Int = 10): DataFrame =
-    df.select(col(id),
-      when(hashBucket(col(id)) < trainPct, lit("train"))
-        .when(hashBucket(col(id)) < trainPct + valPct, lit("val"))
-        .otherwise(lit("test")).as("split"))
+    df.select(col(id), splitCol(col(id), trainPct, valPct).as("split"))
 
   /**
    * Source-mixing weights for corpus sampling: weight(source) ∝

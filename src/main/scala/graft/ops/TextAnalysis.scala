@@ -71,6 +71,19 @@ object TextAnalysis {
         md5(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " "))).as("fp"))
       .withColumn("fp_int", conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
 
+  /** PII-redaction patterns (training-corpus cleaning). Restricted to
+    * the syntax subset Java regex and RE2 (DuckDB) interpret identically
+    * so the oracle applies the exact same rule. */
+  val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  val PhoneRe = """\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"""
+
+  /** Scrub emails then phone-shaped numbers to typed placeholder tokens.
+    * Pure regexp column logic — codegen'd, no UDF; at 100 TB this runs
+    * map-side in the scan stage with zero shuffle. Email pass runs first
+    * so a phone-looking local part can't split an address in two. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /**
    * Gopher-style repetition signals (Rae et al. 2021 §A1.1, "Scaling
    * Language Models" — public paper): per-document duplicate-n-gram

@@ -176,6 +176,40 @@ object DedupQueries {
       | doc_id = cluster_id AS is_keeper
       |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** q59: 64-bit image-pHash near-dup pairs through the SAME pigeonhole
+    * band join as q38 but on the wide-signature path
+    * (`Dedup.signaturePairs`, bits=60, maxDist=2 → 3 bands of 20 bits)
+    * that image dedup at 100 TB runs on (`codec/ImageCodec.phash64`).
+    * The corpus carries no images, so each doc gets a deterministic
+    * planted pHash: a 60-bit cluster base from md5(doc_id % 50) with
+    * one bit flipped for every third doc — intra-cluster hamming 0-2,
+    * cross-cluster ~30. The oracle is the BRUTE-FORCE all-pairs scan,
+    * so a match certifies the banded equi-join is exact (finds every
+    * pair within maxDist), not merely approximate. */
+  def q59PhashPairs(s: SparkSession, d: String): DataFrame = {
+    val base = conv(substring(md5((col("doc_id") % 50).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val flip = when(col("doc_id") % 3 === 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"))
+      .otherwise(lit(0L))
+    val sigs = documents(s, d).select(col("doc_id"), base.bitwiseXOR(flip).as("phash"))
+    Dedup.signaturePairs(sigs, "doc_id", "phash", maxDist = 2, bits = 60)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q59Sql: String =
+    """WITH sig AS (
+      | SELECT doc_id,
+      |  xor(CAST(concat('0x', substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 15)) AS BIGINT),
+      |      CASE WHEN doc_id % 3 = 0 THEN (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+      |           ELSE CAST(0 AS BIGINT) END) AS phash
+      | FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q25: embedding near-dup — top-1 cosine neighbor per vector
     * (fixed-point dot product; bit-identical across engines). */
   def q25EmbedNearest(s: SparkSession, d: String): DataFrame =

@@ -211,4 +211,38 @@ object TextQueries {
         | GROUP BY tf.doc_id)
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score
         |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** q57: PII-redaction scrub (training-corpus cleaning). The synthetic
+    * corpus carries no PII, so the query deterministically plants one
+    * email + one phone per row from doc_id, then scrubs and counts them
+    * — the operator under test is `TextAnalysis.piiScrub` (pure regexp
+    * column logic, map-side only at scale). */
+  def q57PiiScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id",
+        concat_ws(" ", substring($"text", 1, 40),
+          concat(lit("user"), $"doc_id", lit("@example.com")),
+          concat(lit("+1-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).as("raw"))
+      .select($"doc_id",
+        regexp_count($"raw", lit(TextAnalysis.EmailRe)).cast("long").as("n_emails"),
+        regexp_count($"raw", lit(TextAnalysis.PhoneRe)).cast("long").as("n_phones"),
+        TextAnalysis.piiScrub($"raw").as("clean"))
+      .orderBy($"doc_id")
+  }
+
+  val q57Sql: String =
+    """WITH raw AS (
+      | SELECT doc_id,
+      |  concat_ws(' ', substr(text, 1, 40),
+      |   concat('user', CAST(doc_id AS VARCHAR), '@example.com'),
+      |   concat('+1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))) AS raw
+      | FROM documents)
+      |SELECT doc_id,
+      | len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+      | len(regexp_extract_all(raw, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+      | regexp_replace(
+      |   regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |   '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+      |FROM raw ORDER BY doc_id""".stripMargin
 }

@@ -61,6 +61,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q59: wide-signature pHash pair join is an equi-join on a materialized table") {
+    // signaturePairs localCheckpoints the (id, sig) projection then
+    // band-explodes and self-joins on (band_id, band_val): the plan must
+    // never re-scan the documents parquet (both sides read the
+    // materialized RDD) and never degrade to an all-pairs join — at
+    // image scale a cartesian Hamming scan is n² over 10^10 rows
+    val p = plan("q59_phash_pairs")
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      s"q59 re-scans the corpus:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q59 pair join is not an equi-join:\n${p.take(2000)}")
+  }
+
   test("q55: robots rules broadcast; prefix predicate is pure column logic") {
     val p = plan("q55_robots_filter")
     assert(p.contains("BroadcastHashJoin"), s"robots join is not broadcast:\n$p")
