@@ -310,6 +310,16 @@ object Bench {
     }
     val rateN = f1 / s1
     val rate4N = f4 / s4
+    // Best-known per-side times across ALL invocations (persisted cache,
+    // monotone minimum): host noise only ever ADDS time and its windows
+    // can outlast one invocation's retry budget (measured: hours), so the
+    // cross-run minimum is the estimator of the quiet-host truth. Both
+    // numbers are reported — `scaling_efficiency` is THIS run's windows,
+    // `scaling_efficiency_best` the cross-run minima (BASELINE.md
+    // "How to read a recorded artifact").
+    val sNBest = math.min(s1, bests.getOrElse(s"l$nCores:$crawlPages", s1))
+    val s4NBest = math.min(s4, bests.getOrElse(s"l$n4Cores:$crawlPages", s4))
+    val effBest = ((crawlPages / s4NBest) / (crawlPages / sNBest)) / 4.0
     def legsJson(xs: Seq[Double]): String = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
 
     // 3) end-to-end BFS expansion loop at 4N (seed -> discover -> drain)
@@ -318,6 +328,6 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"warmup_best_n":${warmBest(nCores)}%.2f,"warmup_best_4n":${warmBest(n4Cores)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,"secs_n_best":$sNBest%.1f,"secs_4n_best":$s4NBest%.1f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"warmup_best_n":${warmBest(nCores)}%.2f,"warmup_best_4n":${warmBest(n4Cores)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
   }
 }
