@@ -183,6 +183,37 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Memory-bandwidth probe: 4 threads each stream-sum a disjoint 64 MB
+    * slice of a shared 256 MB array (DRAM-resident, far beyond L3);
+    * returns wall seconds. Detects the co-tenancy mode the ALU probes
+    * are blind to: a bandwidth-heavy neighbor leaves register-resident
+    * arithmetic at full speed while anything that streams memory — the
+    * codec/fetch legs included — runs 1.5-1.8x slow (measured: a full
+    * bench window with quiet ALU probes, near-best 2000-page warmups,
+    * and every 100k-page 4-core leg 35-47 s against a 23.7 s best). */
+  private lazy val bwArray: Array[Long] = Array.tabulate(32 << 20)(i => i.toLong)
+  private def bwProbeSecs(): Double = {
+    val n = bwArray.length
+    val slice = n / 4
+    val t0 = System.nanoTime()
+    val ts = (0 until 4).map { k =>
+      val t = new Thread(() => {
+        var acc = 0L
+        var rep = 0
+        while (rep < 2) {
+          var i = k * slice
+          val end = i + slice
+          while (i < end) { acc += bwArray(i); i += 1 }
+          rep += 1
+        }
+        if (acc == 42L) System.err.print("")
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private val headline = Seq(
     "q01_agg", "q02_join_broadcast", "q05_first_seen", "q13_token_freq",
     "q21_minhash_lsh", "q22_simhash", "q24_knn_cosine", "q31_sessionize")
@@ -223,21 +254,25 @@ object Bench {
     var maxProbe = minProbe
     var minProbe4 = probeSecs(4)
     var maxProbe4 = minProbe4
+    var minBw = bwProbeSecs()
+    var maxBw = minBw
     def waitQuiet(): Unit = {
       var tries = 0
       var p = probeSecs()
       var p4 = probeSecs(4)
+      var bw = bwProbeSecs()
       minProbe = math.min(minProbe, p); maxProbe = math.max(maxProbe, p)
       minProbe4 = math.min(minProbe4, p4); maxProbe4 = math.max(maxProbe4, p4)
-      // short: the decisive noise gate is the in-leg warmup crawl (below);
-      // the ALU probes only skim the worst windows cheaply first
-      while (tries < 4 && (p > 1.25 * minProbe || p4 > 1.3 * minProbe4)) {
+      minBw = math.min(minBw, bw); maxBw = math.max(maxBw, bw)
+      while (tries < 4 && (p > 1.25 * minProbe || p4 > 1.3 * minProbe4 || bw > 1.3 * minBw)) {
         Thread.sleep(20000)
         tries += 1
         p = probeSecs()
         p4 = probeSecs(4)
+        bw = bwProbeSecs()
         minProbe = math.min(minProbe, p); maxProbe = math.max(maxProbe, p)
         minProbe4 = math.min(minProbe4, p4); maxProbe4 = math.max(maxProbe4, p4)
+        minBw = math.min(minBw, bw); maxBw = math.max(maxBw, bw)
       }
     }
     val legsN = scala.collection.mutable.ArrayBuffer[Double]()
@@ -277,6 +312,11 @@ object Bench {
       b
     }
     def warmBest(cores: Int): Double = bests.getOrElse(s"w$cores", -1.0)
+    // Seed the bandwidth-probe floor from the persisted cache (the probe
+    // is fixed-size, so readings compare across runs): a run launched
+    // entirely inside a bandwidth-noisy window would otherwise adopt the
+    // inflated reading as its own "best" and sail through the gate.
+    minBw = improve("bw4", minBw)
     // A leg counts as clean only when BOTH its warmup and its own time
     // land near the best ever recorded for this (cores, pages) — mid-leg
     // noise after a quiet warmup is common (measured 36 s legs behind
@@ -328,6 +368,6 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,"secs_n_best":$sNBest%.1f,"secs_4n_best":$s4NBest%.1f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"warmup_best_n":${warmBest(nCores)}%.2f,"warmup_best_4n":${warmBest(n4Cores)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,"secs_n_best":$sNBest%.1f,"secs_4n_best":$s4NBest%.1f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"host_bw_min":$minBw%.3f,"host_bw_max":$maxBw%.3f,"warmup_best_n":${warmBest(nCores)}%.2f,"warmup_best_4n":${warmBest(n4Cores)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
   }
 }
