@@ -50,6 +50,7 @@ object SparkEntry {
     "q44_stemmed_tokens" -> TextQueries.q44StemmedTokens _,
     "q46_bm25f_search"   -> TextQueries.q46Bm25fSearch _,
     "q57_pii_scrub"      -> TextQueries.q57PiiScrub _,
+    "q60_chunk_dedup"    -> TextQueries.q60ChunkDedup _,
     // dedup (training-data ops)
     "q20_dedup_exact"    -> DedupQueries.q20DedupExact _,
     "q21_minhash_lsh"    -> DedupQueries.q21MinhashLsh _,
@@ -112,6 +113,7 @@ object SparkEntry {
     "q44_stemmed_tokens" -> TextQueries.q44Sql,
     "q46_bm25f_search"   -> TextQueries.q46Sql,
     "q57_pii_scrub"      -> TextQueries.q57Sql,
+    "q60_chunk_dedup"    -> TextQueries.q60Sql,
     "q20_dedup_exact"    -> DedupQueries.q20Sql,
     "q21_minhash_lsh"    -> DedupQueries.q21Sql,
     "q22_simhash"        -> DedupQueries.q22Sql,

@@ -85,6 +85,47 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
   /**
+   * CCNet/Dolma-style cross-document chunk deduplication (boilerplate
+   * removal): a chunk whose corpus-wide document frequency exceeds
+   * `maxDupDocs` is boilerplate (nav bars, cookie banners, licence
+   * footers) and is dropped from EVERY document. Real pipelines chunk
+   * on newlines; the synthetic corpus has none, so chunks are fixed
+   * `chunkTokens`-token blocks (pure column logic either way).
+   *
+   * Exactly two shuffles at any corpus size: the chunk-df hash
+   * aggregate and the per-document re-assembly — the explode, block
+   * slicing and hashing are map-side. Reassembly order is restored by
+   * `array_sort` over (chunk_idx, chunk) structs because
+   * `collect_list` order is shuffle-dependent. Requires >=1 token per
+   * document (both engines then agree on the chunk count formula).
+   * Returns (id, n_chunks, n_kept, clean_fp = md5 of the rejoined
+   * kept text; documents that were pure boilerplate keep md5("")).
+   */
+  def chunkDedup(df: DataFrame, id: String, text: String,
+                 chunkTokens: Int = 8, maxDupDocs: Long = 3): DataFrame = {
+    val toks = tokensCol(col(text))
+    val chunksArr = transform(
+      sequence(lit(0), floor((size(toks) - 1) / chunkTokens).cast("int")),
+      i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+    val chunks = df.select(col(id), posexplode(chunksArr).as(Seq("chunk_idx", "chunk")))
+    val boilerplate = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col(id)).as("chunk_df"))
+      .filter(col("chunk_df") > maxDupDocs)
+      .select(col("chunk"))
+    val kept = chunks.join(boilerplate, Seq("chunk"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            s => s.getField("chunk")), " ")).as("clean_fp"))
+    chunks.groupBy(col(id)).agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+  }
+
+  /**
    * Gopher-style repetition signals (Rae et al. 2021 §A1.1, "Scaling
    * Language Models" — public paper): per-document duplicate-n-gram
    * fraction and most-frequent-n-gram coverage. High values flag

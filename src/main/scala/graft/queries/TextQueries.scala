@@ -231,6 +231,49 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** q60: CCNet/Dolma-style cross-document chunk dedup. The synthetic
+    * corpus has no natural boilerplate, so every document gets the same
+    * 8-token banner prepended (chunk 0 everywhere → corpus-wide df =
+    * n_docs → dropped); the payload chunks shift by exactly one block
+    * and stay document-specific. Docs that are exact duplicates of >=
+    * maxDupDocs others also lose their shared chunks — both engines
+    * compute the same rule. */
+  def q60ChunkDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withBanner = documents(s, d).select($"doc_id",
+      concat(lit("copyright footer boilerplate banner repeat chunk eight tokens "),
+        $"text").as("text"))
+    TextAnalysis.chunkDedup(withBanner, "doc_id", "text", chunkTokens = 8, maxDupDocs = 2)
+      .orderBy($"doc_id")
+  }
+
+  val q60Sql: String =
+    """WITH raw AS (
+      | SELECT doc_id,
+      |  concat('copyright footer boilerplate banner repeat chunk eight tokens ', text) AS rtext
+      | FROM documents),
+      |t AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(rtext), '[^a-z0-9]+'), x -> len(x) > 0) AS tk
+      | FROM raw),
+      |ch AS (
+      | SELECT doc_id, s.i AS chunk_idx, s.c AS chunk FROM (
+      |  SELECT doc_id,
+      |   unnest(list_transform(range(((len(tk)-1)//8)+1),
+      |     i -> {'i': i, 'c': array_to_string(list_slice(tk, i*8+1, i*8+8), ' ')})) AS s
+      |  FROM t)),
+      |dup AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) > 2),
+      |kept AS (SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM dup)),
+      |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+      |k AS (
+      | SELECT doc_id, count(*) AS n_kept,
+      |  md5(array_to_string(list(chunk ORDER BY chunk_idx), ' ')) AS clean_fp
+      | FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_chunks, coalesce(k.n_kept, 0) AS n_kept,
+      | coalesce(k.clean_fp, md5('')) AS clean_fp
+      |FROM tot t LEFT JOIN k ON k.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val q57Sql: String =
     """WITH raw AS (
       | SELECT doc_id,
