@@ -107,22 +107,30 @@ object TextAnalysis {
     val chunksArr = transform(
       sequence(lit(0), floor((size(toks) - 1) / chunkTokens).cast("int")),
       i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+    // materialize the exploded chunk table ONCE (localCheckpoint; a
+    // staging table on a cluster): it feeds both the corpus-wide df
+    // aggregate and the per-doc reassembly, and an inlined plan would
+    // re-scan + re-explode the corpus per consumer (the q21-class
+    // recompute regression)
     val chunks = df.select(col(id), posexplode(chunksArr).as(Seq("chunk_idx", "chunk")))
+      .localCheckpoint()
     val boilerplate = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col(id)).as("chunk_df"))
       .filter(col("chunk_df") > maxDupDocs)
-      .select(col("chunk"))
-    val kept = chunks.join(boilerplate, Seq("chunk"), "left_anti")
+      .select(col("chunk"), lit(true).as("is_dup"))
+    // single per-doc aggregate: collect_list skips the nulled-out dup
+    // chunks, so kept count, total count and the order-restored clean
+    // text all come from one shuffle
+    chunks.join(boilerplate, Seq("chunk"), "left")
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("is_dup").isNull, 1)).as("n_kept"),
         md5(array_join(
-          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          transform(
+            array_sort(collect_list(when(col("is_dup").isNull,
+              struct(col("chunk_idx"), col("chunk"))))),
             s => s.getField("chunk")), " ")).as("clean_fp"))
-    chunks.groupBy(col(id)).agg(count(lit(1)).as("n_chunks"))
-      .join(kept, Seq(id), "left")
-      .select(col(id), col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+      .select(col(id), col("n_chunks"), col("n_kept"), col("clean_fp"))
   }
 
   /**

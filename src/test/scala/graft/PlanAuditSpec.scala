@@ -61,6 +61,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q60: chunk-dedup consumers read the materialized chunk table, not the corpus") {
+    // chunkDedup localCheckpoints the exploded chunk table before the
+    // df aggregate and the reassembly join — an inlined plan re-scans
+    // and re-explodes the corpus once per consumer (q21-class recompute)
+    val p = plan("q60_chunk_dedup")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q60 re-scans the corpus $scans times:\n${p.take(2000)}")
+  }
+
   test("q59: wide-signature pHash pair join is an equi-join on a materialized table") {
     // signaturePairs localCheckpoints the (id, sig) projection then
     // band-explodes and self-joins on (band_id, band_val): the plan must
