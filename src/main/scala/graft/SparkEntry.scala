@@ -65,9 +65,12 @@ object SparkEntry {
     "q51_repetition"     -> TextQueries.q51Repetition _,
     "q53_domain_mix"     -> CurationQueries.q53DomainMix _,
     "q58_curation_pipe"  -> CurationQueries.q58CurationPipeline _,
+    "q61_decontam"       -> CurationQueries.q61Decontam _,
+    "q62_pack_sequences" -> CurationQueries.q62PackSequences _,
     // similarity search + multimodal
     "q24_knn_cosine"     -> SimQueries.q24KnnCosine _,
     "q36_multimodal_meta" -> SimQueries.q36MultimodalMeta _,
+    "q63_semantic_dedup" -> SimQueries.q63SemanticDedup _,
     "q37_frame_sample"   -> SimQueries.q37FrameSample _,
     "q39_lsh_cosine_pairs" -> SimQueries.q39LshCosinePairs _,
     "q45_ivf_ann"        -> SimQueries.q45IvfAnn _,
@@ -126,8 +129,11 @@ object SparkEntry {
     "q51_repetition"     -> TextQueries.q51Sql,
     "q53_domain_mix"     -> CurationQueries.q53Sql,
     "q58_curation_pipe"  -> CurationQueries.q58Sql,
+    "q61_decontam"       -> CurationQueries.q61Sql,
+    "q62_pack_sequences" -> CurationQueries.q62Sql,
     "q24_knn_cosine"     -> SimQueries.q24Sql,
     "q36_multimodal_meta" -> SimQueries.q36Sql,
+    "q63_semantic_dedup" -> SimQueries.q63Sql,
     "q37_frame_sample"   -> SimQueries.q37Sql,
     "q39_lsh_cosine_pairs" -> SimQueries.q39Sql,
     "q45_ivf_ann"        -> SimQueries.q45Sql,

@@ -40,6 +40,81 @@ object Curation {
     df.select(col(id), splitCol(col(id), trainPct, valPct).as("split"))
 
   /**
+   * Benchmark decontamination (training-data hygiene): the fraction of
+   * each document's DISTINCT word n-grams that appear anywhere in a
+   * held-out benchmark set; `contaminated` flags fractions >=
+   * `threshold` for removal before training. Benchmarks are tiny next
+   * to the corpus (MBs vs 100 TB), so the benchmark gram set
+   * `broadcast`s and the probe is a map-side broadcast left join; the
+   * corpus is exploded exactly once and the only corpus-wide shuffle
+   * is the per-document aggregate.
+   */
+  def contamination(df: DataFrame, id: String, text: String,
+                    bench: DataFrame, benchText: String,
+                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docGrams = graft.ops.Dedup.shingles(df, id, text, n)
+    val benchGrams = bench
+      .select(explode(graft.ops.Dedup.shinglesCol(col(benchText), n)).as("shingle"))
+      .distinct()
+      .withColumn("bench_hit", lit(true))
+    docGrams.join(broadcast(benchGrams), Seq("shingle"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("bench_hit"), 1)).as("n_hit"))
+      .withColumn("contam_frac",
+        round(col("n_hit").cast("double") / col("n_grams"), 6))
+      .withColumn("contaminated",
+        col("n_hit").cast("double") / col("n_grams") >= threshold)
+  }
+
+  /**
+   * Sequence packing (concat-and-chunk): documents laid end-to-end in
+   * ascending-id order, the token stream cut into fixed `budget`-token
+   * packs — the batch-layout step of LLM pretraining (each document is
+   * tagged with its starting token offset, its first/last pack, and how
+   * many packs it spans; boundary documents span two or more).
+   *
+   * Scale: the global exclusive prefix sum is two passes over ONE
+   * range-repartition shuffle, never a single-partition window (and
+   * never the pid-hash re-shuffle a `Window.partitionBy(pid)` would
+   * plan): per-partition token totals (one long per partition) are
+   * prefix-summed on the driver and broadcast back, then a per-
+   * partition running sum assigns offsets — the same sort+two-pass
+   * shape the crawl pipeline uses for BFS seq assignment. Pack ids use
+   * integer `div`, exact at any corpus size (no double rounding).
+   */
+  def packSequences(df: DataFrame, id: String, nTokens: Column,
+                    budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val base = df.select(col(id), nTokens.cast("long").as("n_tokens"))
+      .repartitionByRange(nParts, col(id))
+      .sortWithinPartitions(col(id))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((pid, s))
+    }.collect().toMap
+    val offsets = (0 until partSums.size).scanLeft(0L)((acc, p) => acc + partSums(p))
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val schema = base.schema.add("start_tok", org.apache.spark.sql.types.LongType)
+    spark.createDataFrame(
+        base.rdd.mapPartitionsWithIndex { (pid, it) =>
+          var acc = bcOff.value(pid)
+          it.map { r =>
+            val row = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+            acc += r.getLong(1)
+            row
+          }
+        }, schema)
+      // last occupied token (empty docs occupy none: clamp to start_tok)
+      .withColumn("last_tok", greatest(col("start_tok"), col("start_tok") + col("n_tokens") - 1))
+      .select(col(id), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $budget").as("pack_first"),
+        expr(s"last_tok div $budget").as("pack_last"),
+        (expr(s"last_tok div $budget") - expr(s"start_tok div $budget") + 1).as("n_packs"))
+  }
+
+  /**
    * Source-mixing weights for corpus sampling: weight(source) ∝
    * (token count)^alpha, normalized. alpha < 1 up-weights small
    * sources relative to proportional sampling — the multilingual /

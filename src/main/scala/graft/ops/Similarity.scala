@@ -106,6 +106,26 @@ object Similarity {
    * is bounded by cell sizes (like LSH bands) while recall is governed
    * by nProbe rather than hash collisions.
    */
+  /** Data-sampled coarse centroids (every `centEvery`-th vector — the
+    * k-means-free deterministic quantizer). */
+  private def centroidsOf(base: DataFrame, id: String, centEvery: Int): DataFrame =
+    base.filter(col(id) % centEvery === 0)
+      .select(col(id).as("cid"), col("scaled").as("cs"), col("norm2").as("cn2"))
+
+  private def simToCent: Column =
+    cosine(dotCol(col("scaled"), col("cs")), col("norm2"), col("cn2"))
+
+  /** Cell assignment: argmax centroid similarity, ties -> smaller cid.
+    * max(struct(sim, -cid)) is a map-side-combinable aggregate — no
+    * window shuffle over the full vector set; the centroid table
+    * broadcasts (K ≪ N). */
+  private def cellAssign(base: DataFrame, id: String, cents: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cents))
+      .withColumn("sim_c", simToCent)
+      .groupBy(col(id))
+      .agg(max(struct(col("sim_c"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col(id), (-col("m.ncid")).as("cell"))
+
   def ivfTopK(df: DataFrame, id: String, emb: String, centEvery: Int,
               nProbe: Int, querySel: Column, k: Int): DataFrame = {
     // (id, scaled, norm2) is consumed by four subtrees (centroid pick,
@@ -113,17 +133,8 @@ object Similarity {
     // it once — the IVF staging table every real ANN index keeps anyway.
     val base = withScaled(df, emb).select(col(id), col("scaled"), col("norm2"))
       .localCheckpoint()
-    val cents = base.filter(col(id) % centEvery === 0)
-      .select(col(id).as("cid"), col("scaled").as("cs"), col("norm2").as("cn2"))
-    def simToCent = cosine(dotCol(col("scaled"), col("cs")), col("norm2"), col("cn2"))
-    // cell assignment: argmax centroid similarity, ties -> smaller cid.
-    // max(struct(sim, -cid)) is a map-side-combinable aggregate — no
-    // window shuffle over the full vector set.
-    val assigned = base.crossJoin(broadcast(cents))
-      .withColumn("sim_c", simToCent)
-      .groupBy(col(id))
-      .agg(max(struct(col("sim_c"), (-col("cid")).as("ncid"))).as("m"))
-      .select(col(id), (-col("m.ncid")).as("cell"))
+    val cents = centroidsOf(base, id, centEvery)
+    val assigned = cellAssign(base, id, cents)
     val cells = base.join(assigned, id)
     val qprobe = base.filter(querySel)
       .crossJoin(broadcast(cents))
@@ -145,6 +156,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"), col("sim"))
+  }
+
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023, public): vectors
+   * are assigned to IVF cells (broadcast argmax over data-sampled
+   * centroids, shared with `ivfTopK`), and a vector is a semantic
+   * duplicate iff some LOWER-id vector in the SAME cell has cosine >=
+   * `minSim`; `dup_of` is the smallest such id, so exactly one
+   * representative per near-dup group survives (`is_dup = false`).
+   *
+   * Scale: assignment is broadcast + map-side argmax; the pair join is
+   * a cell equi-join bounded by cell sizes — never all-pairs across the
+   * corpus. The cell table is materialized once (localCheckpoint) so
+   * the self-join does not recompute scaling/assignment per side; on a
+   * cluster the same effect comes from staging the assignment table.
+   */
+  def semanticDedup(df: DataFrame, id: String, emb: String, centEvery: Int,
+                    minSim: Double): DataFrame = {
+    val base = withScaled(df, emb).select(col(id), col("scaled"), col("norm2"))
+      .localCheckpoint()
+    val cents = centroidsOf(base, id, centEvery)
+    val cells = base.join(cellAssign(base, id, cents), id).localCheckpoint()
+    val a = cells.select(col("cell"), col(id).as("lo"), col("scaled").as("sa"), col("norm2").as("na"))
+    val b = cells.select(col("cell"), col(id).as("hi"), col("scaled").as("sb"), col("norm2").as("nb"))
+    val dupOf = a.join(b, Seq("cell"))
+      .filter(col("lo") < col("hi"))
+      .withColumn("sim", cosine(dotCol(col("sa"), col("sb")), col("na"), col("nb")))
+      .filter(col("sim") >= minSim)
+      .groupBy(col("hi")).agg(min(col("lo")).as("dup_of"))
+    cells.select(col(id), col("cell"))
+      .join(dupOf.withColumnRenamed("hi", id), Seq(id), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
   }
 
   /** LSH-bucketed near-dup pairs: same bucket, cosine >= minSim.

@@ -36,6 +36,64 @@ object CurationQueries {
       | round(pow(CAST(n_tokens AS DOUBLE), 0.7) / z, 6) AS mix_weight
       |FROM per, tot ORDER BY source""".stripMargin
 
+  /** q61: benchmark decontamination — every 100th document plays the
+    * held-out benchmark; docs sharing >= 50% of their distinct 3-grams
+    * with it (the benchmark docs themselves plus their exact/near
+    * duplicates) are flagged for removal before training. */
+  def q61Decontam(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    Curation.contamination(docs, "doc_id", "text",
+        docs.filter($"doc_id" % 100 === 0), "text", n = 3, threshold = 0.5)
+      .orderBy($"doc_id")
+  }
+
+  val q61Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tk
+      | FROM documents),
+      |sh AS (
+      | SELECT DISTINCT doc_id,
+      |  unnest(list_transform(range(greatest(len(tk) - 2, 0)), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shingle
+      | FROM toks),
+      |bg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+      |agg AS (
+      | SELECT s.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      | FROM sh s LEFT JOIN bg b ON b.shingle = s.shingle
+      | GROUP BY s.doc_id)
+      |SELECT doc_id, n_grams, n_hit,
+      | round(CAST(n_hit AS DOUBLE) / n_grams, 6) AS contam_frac,
+      | CAST(n_hit AS DOUBLE) / n_grams >= 0.5 AS contaminated
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** q62: sequence packing — documents concatenated in id order and cut
+    * into 512-token packs (the LLM pretraining batch-layout step); each
+    * doc reports its start offset and the packs it spans. The global
+    * prefix sum is distributed (range partition + per-partition offsets),
+    * never a single-partition window. */
+  def q62PackSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Curation.packSequences(documents(s, d), "doc_id",
+        size(graft.ops.TextAnalysis.tokensCol($"text")), budget = 512L)
+      .orderBy($"doc_id")
+  }
+
+  val q62Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, n_tokens,
+      |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      | FROM toks)
+      |SELECT doc_id, n_tokens, start_tok,
+      | start_tok // 512 AS pack_first,
+      | greatest(start_tok, start_tok + n_tokens - 1) // 512 AS pack_last,
+      | greatest(start_tok, start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1 AS n_packs
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** q58: the composed corpus-curation pipeline — quality gate →
     * exact-dedup keeper (min doc_id per fingerprint) → deterministic
     * split → per-split doc/token totals. Exercises the operators

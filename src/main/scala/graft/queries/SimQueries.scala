@@ -112,6 +112,46 @@ object SimQueries {
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
       | FROM sims) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q63: SemDeDup-style semantic dedup — IVF-cell assignment (every 8th
+    * vector a centroid, as q45) then within-cell cosine >= threshold
+    * against lower-id cellmates; one representative per near-dup group
+    * survives. The pair join is cell-bounded, never corpus-all-pairs.
+    * (The synthetic embeddings carry no planted near-identical pairs —
+    * max within-cell cosine ≈ 0.47 at sf0.01 — so the query uses a
+    * demonstrative 0.4 threshold to exercise the dup/keeper path; the
+    * operator's threshold is a free parameter.) */
+  def q63SemanticDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(embeddings(s, d), "vec_id", "embedding",
+        centEvery = 8, minSim = 0.4)
+      .orderBy(col("vec_id"))
+
+  val q63Sql: String =
+    """WITH sc AS (
+      | SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s
+      | FROM embeddings),
+      |n AS (SELECT vec_id, s, list_sum(list_transform(s, x -> x * x)) AS n2 FROM sc),
+      |cents AS (SELECT vec_id AS cid, s AS cs, n2 AS cn2 FROM n WHERE vec_id % 8 = 0),
+      |simc AS (
+      | SELECT n.vec_id, cents.cid,
+      |  CAST(list_sum(list_transform(range(64), i -> n.s[i+1] * cents.cs[i+1])) AS DOUBLE)
+      |    / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cents.cn2 AS DOUBLE))) AS sim_c
+      | FROM n, cents),
+      |ranked_c AS (
+      | SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim_c DESC, cid) AS rn
+      | FROM simc),
+      |cells AS (
+      | SELECT r.vec_id, r.cid AS cell, n.s, n.n2
+      | FROM ranked_c r JOIN n ON n.vec_id = r.vec_id WHERE r.rn = 1),
+      |pairs AS (
+      | SELECT x.vec_id AS lo, y.vec_id AS hi,
+      |  CAST(list_sum(list_transform(range(64), i -> x.s[i+1] * y.s[i+1])) AS DOUBLE)
+      |    / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS sim
+      | FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      |d AS (SELECT hi, min(lo) AS dup_of FROM pairs WHERE sim >= 0.4 GROUP BY hi)
+      |SELECT c.vec_id, c.cell, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+      |FROM cells c LEFT JOIN d ON d.hi = c.vec_id
+      |ORDER BY c.vec_id""".stripMargin
+
   /** q36: multimodal metadata decode over a binary column (stubbed codec;
     * real mapPartitions plumbing over unhex(md5(text)) blobs). */
   def q36MultimodalMeta(s: SparkSession, d: String): DataFrame = {

@@ -61,6 +61,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q63: semantic-dedup pair join is cell-bounded over the materialized table") {
+    // semanticDedup localCheckpoints (id, scaled, norm2) and the cell
+    // assignment before the within-cell self-join: the executed plan
+    // must never re-scan the embeddings parquet (q21-class recompute)
+    // and the pair join must be a cell equi-join, never all-pairs
+    val p = plan("q63_semantic_dedup")
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      s"q63 re-scans the corpus:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q63 pair join is not an equi-join:\n${p.take(2000)}")
+  }
+
   test("q60: chunk-dedup consumers read the materialized chunk table, not the corpus") {
     // chunkDedup localCheckpoints the exploded chunk table before the
     // df aggregate and the reassembly join — an inlined plan re-scans
