@@ -33,6 +33,18 @@ object StreamOps {
            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming first-seen URL dedup — the streaming form of the
+    * frontier's seen-set anti-join (J1). `dropDuplicatesWithinWatermark`
+    * keeps per-URL state only inside the watermark horizon, so state is
+    * bounded by arrival-rate × horizon instead of growing with the
+    * 10^10-URL crawl history; a duplicate arriving beyond the horizon
+    * re-emits, and the batch anti-join backstop at commit corrects it —
+    * the same probabilistic-filter + exact-backstop split the Bloom
+    * seen-set uses. */
+  def firstSeenUrls(urls: DataFrame, tsCol: String = "ts",
+                    watermark: String = "10 minutes"): DataFrame =
+    urls.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("url")
+
   case class FetchEvent(host: String, url: String)
   case class BudgetBreach(host: String, nFetches: Long)
 

@@ -56,6 +56,53 @@ class CurationSpec extends AnyFunSuite {
     assert(r == ((6L, 3L, 0.5, 0.5)))
   }
 
+  test("packSequences: exact offsets, boundary spans, zero-token docs") {
+    // token counts in id order: 3, 5, 0, 600, 2 with budget 4 ->
+    // start offsets 0, 3, 8, 8, 608
+    val docs = Seq(
+      (1L, "a b c"),            // 3 tokens: pack 0
+      (2L, "a b c d e"),        // 5 tokens @3: spans packs 0-1
+      (3L, "!!!"),              // 0 tokens @8: occupies nothing, pack 2
+      (4L, ("w " * 600).trim),  // 600 tokens @8: packs 2-151
+      (5L, "x y"))              // 2 tokens @608: pack 152
+      .toDF("doc_id", "text")
+    val got = Curation.packSequences(docs.repartition(3), "doc_id",
+        size(TextAnalysis.tokensCol($"text")), budget = 4L)
+      .select($"doc_id", $"n_tokens", $"start_tok", $"pack_first", $"pack_last", $"n_packs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val want = Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 5L, 3L, 0L, 1L, 2L),
+      (3L, 0L, 8L, 2L, 2L, 1L),
+      (4L, 600L, 8L, 2L, 151L, 150L),
+      (5L, 2L, 608L, 152L, 152L, 1L))
+    assert(got.toSeq == want)
+  }
+
+  test("semanticDedup: identical vectors collapse to the min-id keeper") {
+    import graft.ops.Similarity
+    // 0 and 8 are centroids (centEvery=8). 1,2,9 share 0's direction ->
+    // same cell, pairwise cosine 1.0: keeper 1, dups 2 and 9 (dup_of=1).
+    // 10 is orthogonal -> cell of 8, alone, kept.
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (8L, Array(0f, 1f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(4f, 0f, 0f, 0f)),
+      (9L, Array(1f, 0f, 0f, 0f)),
+      (10L, Array(0f, 3f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(e, "vec_id", "embedding",
+        centEvery = 8, minSim = 0.99)
+      .select($"vec_id", $"dup_of", $"is_dup")
+      .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    // 0 is also collinear with 1,2,9 and is the smallest id -> keeper 0
+    val want = Seq(
+      (0L, None, false), (1L, Some(0L), true), (2L, Some(0L), true),
+      (8L, None, false), (9L, Some(0L), true), (10L, Some(8L), true))
+    assert(got == want)
+  }
+
   test("domainMixWeights: alpha<1 up-weights small sources; weights sum to ~1") {
     val docs = (Seq.fill(90)(("big", "w " * 50)) ++ Seq.fill(10)(("small", "w " * 50)))
       .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }

@@ -113,6 +113,24 @@ class SearchAndStreamSpec extends AnyFunSuite {
     assert(row == (("http://a.test/y?a=1&b=2", "www.b.test", "http://a.test/d/g", false)))
   }
 
+  test("streaming: first-seen URL dedup, watermark-bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = StreamOps.firstSeenUrls(in.toDS().toDF("url", "ts"))
+      .writeStream.format("memory").queryName("firstseen")
+      .outputMode("append").start()
+    in.addData(("http://a.test/1", t(0)), ("http://a.test/2", t(1)),
+      ("http://a.test/1", t(2)))
+    q.processAllAvailable()
+    in.addData(("http://a.test/1", t(3)), ("http://a.test/3", t(4)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("firstseen").select($"url").as[String].collect().sorted
+    assert(got.toSeq == Seq("http://a.test/1", "http://a.test/2", "http://a.test/3"))
+  }
+
   test("streaming: flatMapGroupsWithState flags hosts exceeding a budget") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
