@@ -250,6 +250,45 @@ object Relational {
       | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q64: crawl-rate alarm classification — the monitor's severity rules
+    * (`performance_optimizer.py:173-188`: < 1 URL/min HIGH, < 5 MEDIUM)
+    * over per-minute activity buckets, INCLUDING silent minutes (the
+    * reference measures rate over wall time, so a dead crawler reads 0
+    * and must alarm HIGH): the minute axis is generated from the global
+    * min/max (one tiny agg row, exploded), left-joined to the bucket
+    * counts. One corpus aggregation + one join against the generated
+    * axis — no windows, no driver loops. */
+  def q64CrawlAlerts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val counts = ev.groupBy(date_trunc("minute", $"ts").as("minute_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val minutes = ev
+      .agg(date_trunc("minute", min($"ts")).as("t0"), date_trunc("minute", max($"ts")).as("t1"))
+      .select(explode(sequence($"t0", $"t1", expr("interval 1 minute"))).as("minute_bucket"))
+    minutes.join(counts, Seq("minute_bucket"), "left")
+      .select($"minute_bucket", coalesce($"n", lit(0L)).as("n"),
+        when(coalesce($"n", lit(0L)) < 1, "HIGH")
+          .when(coalesce($"n", lit(0L)) < 5, "MEDIUM")
+          .otherwise("OK").as("severity"))
+      .orderBy($"minute_bucket")
+  }
+
+  val q64Sql: String =
+    """WITH b AS (
+      | SELECT date_trunc('minute', ts) AS minute_bucket, count(*) AS n
+      | FROM events GROUP BY 1),
+      |bounds AS (
+      | SELECT date_trunc('minute', min(ts)) AS t0, date_trunc('minute', max(ts)) AS t1 FROM events),
+      |minutes AS (
+      | SELECT unnest(generate_series(t0, t1, INTERVAL '1 minute')) AS minute_bucket FROM bounds)
+      |SELECT m.minute_bucket, COALESCE(b.n, 0) AS n,
+      | CASE WHEN COALESCE(b.n, 0) < 1 THEN 'HIGH'
+      |      WHEN COALESCE(b.n, 0) < 5 THEN 'MEDIUM'
+      |      ELSE 'OK' END AS severity
+      |FROM minutes m LEFT JOIN b ON b.minute_bucket = m.minute_bucket
+      |ORDER BY m.minute_bucket""".stripMargin
+
   /** q31: sessionize with 30-min inactivity gap (streaming-state shape,
     * §2.8 — lag + cumulative flag, all-integer arithmetic). */
   def q31Sessionize(s: SparkSession, d: String): DataFrame = {
