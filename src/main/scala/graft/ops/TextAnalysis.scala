@@ -134,6 +134,40 @@ object TextAnalysis {
   }
 
   /**
+   * Positional adjacency matcher (phrase queries): `positions` holds
+   * (keyCols..., pos, token) rows; returns the distinct keys whose
+   * token stream contains `terms` adjacently, in order. The stream is
+   * filtered to the phrase's terms and materialized ONCE (the tiny
+   * occurrence table an inverted index with positions keeps), then the
+   * phrase is n-1 (key, pos) equi-joins on shifted positions — never a
+   * regex re-scan of the corpus at query time, and each join's inputs
+   * are bounded by the phrase terms' posting sizes.
+   */
+  def adjacencyMatch(positions: DataFrame, keyCols: Seq[String],
+                     terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty phrase")
+    val key = keyCols.map(col)
+    val occ = positions
+      .filter(col("token").isin(terms.distinct.map(x => x: Any): _*))
+      .localCheckpoint()
+    val anchor = occ.filter(col("token") === terms.head)
+      .select(key :+ col("pos"): _*)
+    terms.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, i)) =>
+      acc.join(occ.filter(col("token") === t)
+          .select(key :+ (col("pos") - i).as("pos"): _*),
+        keyCols :+ "pos")
+    }.select(key: _*).distinct()
+  }
+
+  /** Documents whose token stream contains the phrase (adjacent, in
+    * order, tokenizer-normalized on both sides). */
+  def phraseMatch(df: DataFrame, id: String, text: String,
+                  phrase: Seq[String]): DataFrame =
+    adjacencyMatch(
+      df.select(col(id), posexplode(tokensCol(col(text))).as(Seq("pos", "token"))),
+      Seq(id), phrase.map(_.toLowerCase))
+
+  /**
    * Gopher-style repetition signals (Rae et al. 2021 §A1.1, "Scaling
    * Language Models" — public paper): per-document duplicate-n-gram
    * fraction and most-frequent-n-gram coverage. High values flag

@@ -46,6 +46,22 @@ object TextQueries {
       | CAST(top_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_frac
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** q65: positional phrase match — documents whose token stream
+    * contains "hash join" adjacently, in order (the engine side runs
+    * the positions-postings adjacency join SearchEngine phrase queries
+    * use; the oracle replicates tokenizer adjacency as a word-boundary
+    * regex over the raw text — equivalent because any non-alnum run is
+    * exactly one token boundary). */
+  def q65PhraseMatch(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.phraseMatch(documents(s, d), "doc_id", "text",
+        Seq("hash", "join"))
+      .orderBy(col("doc_id"))
+
+  val q65Sql: String =
+    """SELECT doc_id FROM documents
+      |WHERE regexp_matches(lower(text), '\bhash[^a-z0-9]+join\b')
+      |ORDER BY doc_id""".stripMargin
+
   /** q44: Porter-stemmed token statistics (C4 — the reference's Whoosh
     * StemmingAnalyzer, `indexer/indexer_node.py:63-67`). The Spark side
     * stems via the real PorterStemmer codegen expression; the DuckDB

@@ -16,9 +16,12 @@ import searchfunctions.stem_token
  *    `MultifieldParser(["title","content"])`,
  *    `indexer/indexer_node.py:157-163`, O2), Porter-stemmed on both the
  *    index and the query side (`StemmingAnalyzer`, `indexer_node.py:63-67`
- *    — C4), field-prefixed query terms (`title:foo`), and top-2
- *    term-window highlighted snippets (`result.highlights("content",
- *    top=2)`, `indexer_node.py:166-171` — O3).
+ *    — C4), field-prefixed query terms (`title:foo`), quoted phrase
+ *    queries (`"exact words"`, optionally field-prefixed — Whoosh's
+ *    default parser treats quoted segments positionally) matched via
+ *    positions-postings adjacency joins, and top-2 term-window
+ *    highlighted snippets (`result.highlights("content", top=2)`,
+ *    `indexer_node.py:166-171` — O3).
  *
  * Postings are a DataFrame (url, field, token) built once per snapshot;
  * stemming runs as a native codegen expression. The AND-intersection is
@@ -43,6 +46,14 @@ class SearchEngine(spark: SparkSession, docs: DataFrame,
       docs.select($"url", lit(f).as("field"), explode(stemmedTokens(col(f))).as("token"))
     }.reduce(_ unionByName _)
 
+  /** (url, field, pos, token) rows — postings with positions, for
+    * phrase queries. */
+  lazy val fieldPositions: DataFrame =
+    Fields.map { f =>
+      docs.select($"url", lit(f).as("field"),
+        posexplode(stemmedTokens(col(f))).as(Seq("pos", "token")))
+    }.reduce(_ unionByName _)
+
   /** (token, url) posting rows over content, deduplicated (A4) — v1's
     * inverted index `defaultdict(list)` (`archive/indexer_node.py:15-17`). */
   lazy val postings: DataFrame =
@@ -51,6 +62,13 @@ class SearchEngine(spark: SparkSession, docs: DataFrame,
   /** Parsed query term: optional field restriction + stemmed term —
     * `MultifieldParser` field-prefix syntax (`title:foo bar`). */
   case class QTerm(field: Option[String], term: String)
+
+  /** Quoted phrase, optionally field-restricted (`title:"exact words"`)
+    * — Whoosh's default parser treats quoted segments as positional
+    * phrase queries. Terms are stemmed like everything else. */
+  case class QPhrase(field: Option[String], terms: Seq[String])
+
+  private val PhraseRe = """(?:(title|content):)?"([^"]*)"""".r
 
   private[search] def parse(query: String): Seq[QTerm] =
     query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { raw =>
@@ -61,17 +79,49 @@ class SearchEngine(spark: SparkSession, docs: DataFrame,
       body.split("[^a-z0-9]+").filter(_.nonEmpty).map(t => QTerm(fld, PorterStemmer.stem(t)))
     }.distinct
 
+  /** Full parse: quoted segments become `QPhrase`s, the remainder plain
+    * terms. */
+  private[search] def parseFull(query: String): (Seq[QTerm], Seq[QPhrase]) = {
+    val q = query.toLowerCase
+    val phrases = PhraseRe.findAllMatchIn(q).flatMap { m =>
+      val ts = m.group(2).split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(PorterStemmer.stem).toSeq
+      if (ts.isEmpty) None else Some(QPhrase(Option(m.group(1)), ts))
+    }.toSeq
+    (parse(PhraseRe.replaceAllIn(q, " ")), phrases)
+  }
+
+  /** Distinct URLs whose `field` token stream contains the phrase
+    * adjacently, in order (positions adjacency join — see
+    * `TextAnalysis.adjacencyMatch`). */
+  private def phraseUrls(p: QPhrase): DataFrame = {
+    val flds = p.field.map(Seq(_)).getOrElse(Fields)
+    TextAnalysis.adjacencyMatch(
+        fieldPositions.filter($"field".isin(flds.map(x => x: Any): _*)),
+        Seq("url", "field"), p.terms)
+      .select($"url").distinct()
+  }
+
   /** v1 semantics: URLs containing ALL query terms (stemmed on both
-    * sides, so "joins" finds documents containing "join"), URL order. */
+    * sides, so "joins" finds documents containing "join"), URL order.
+    * Quoted segments additionally require positional adjacency. */
   def searchAnd(query: String): DataFrame = {
-    val ts = parse(query).map(_.term).distinct
-    if (ts.isEmpty) return docs.select($"url").limit(0)
-    postings
-      .filter($"token".isin(ts.map(x => x: Any): _*))
-      .groupBy($"url")
-      .agg(countDistinct($"token").as("n_hit"))
-      .filter($"n_hit" === ts.size)
-      .select($"url")
+    val (qterms, phrases) = parseFull(query)
+    // v1 postings are content-only: field-restricted phrases constrain
+    // via their positional match alone, not the content AND-set
+    val ts = (qterms.map(_.term) ++
+      phrases.filter(_.field.forall(_ == "content")).flatMap(_.terms)).distinct
+    if (ts.isEmpty && phrases.isEmpty) return docs.select($"url").limit(0)
+    val byTerms =
+      if (ts.isEmpty) docs.select($"url")
+      else postings
+        .filter($"token".isin(ts.map(x => x: Any): _*))
+        .groupBy($"url")
+        .agg(countDistinct($"token").as("n_hit"))
+        .filter($"n_hit" === ts.size)
+        .select($"url")
+    phrases.foldLeft(byTerms)((acc, p) =>
+        acc.join(phraseUrls(p), Seq("url"), "left_semi"))
       .orderBy($"url")
   }
 
@@ -79,7 +129,12 @@ class SearchEngine(spark: SparkSession, docs: DataFrame,
     * snippets. Scores rounded to 6 decimals before ranking (ln() ulp
     * reproducibility, as TextAnalysis.bm25TopK). */
   def search(query: String, k: Int = 10): DataFrame = {
-    val qterms = parse(query)
+    val (plainTerms, phrases) = parseFull(query)
+    // phrase terms score like plain terms (Whoosh scores phrase matches
+    // by term weight too), carrying the phrase's field restriction; the
+    // adjacency requirement is enforced as a candidate filter below
+    val qterms = (plainTerms ++
+      phrases.flatMap(p => p.terms.map(QTerm(p.field, _)))).distinct
     if (qterms.isEmpty) return spark.emptyDataFrame
       .withColumn("rank", lit(0)).limit(0)
     val allTerms = qterms.map(_.term).distinct
@@ -123,12 +178,18 @@ class SearchEngine(spark: SparkSession, docs: DataFrame,
       .withColumn("tscore", $"idf" * $"tfc" * lit(K1 + 1.0) / (lit(K1) + $"tfc"))
       .groupBy($"url")
       .agg(round(sum($"tscore"), 6).as("score"))
+    // positional phrase constraint: candidates must contain every quoted
+    // phrase adjacently (semi-join against the tiny matched-url sets),
+    // applied BEFORE the top-k cut
+    val phrased = phrases.foldLeft(scored)((acc, p) =>
+      acc.join(phraseUrls(p), Seq("url"), "left_semi"))
+    val topk = phrased
       .orderBy($"score".desc, $"url")
       .limit(k)
 
     val contentTerms = qterms.filter(_.field.forall(_ == "content")).map(_.term).distinct
     val hl = SearchEngine.highlightUdf
-    scored
+    topk
       .join(docs.select($"url", $"title", $"domain", $"content"), "url")
       .withColumn("snippet", hl($"content", typedLit(contentTerms)))
       .select(

@@ -55,6 +55,27 @@ class SearchAndStreamSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("http://a.test/2"))
   }
 
+  test("phrase queries: quoted segments require positional adjacency") {
+    val se = new SearchEngine(spark, docs)
+    // "join fast" is adjacent only in a.test/1 ("the join fast and");
+    // a.test/2 has both words but not adjacent ("join is ok ... slow")
+    assert(se.searchAnd("\"join fast\"").as[String].collect().toSeq ==
+      Seq("http://a.test/1"))
+    // order matters: reversed phrase matches nothing
+    assert(se.searchAnd("\"fast join\"").count() == 0)
+    // ranked search: the phrase filters candidates BEFORE the top-k cut —
+    // b.test/1 (highest spark tf) lacks "the scan" and must be excluded
+    val ranked = se.search("spark \"the scan\"", k = 4)
+      .select($"url").as[String].collect().toSeq
+    assert(ranked.toSet == Set("http://a.test/1", "http://a.test/2"))
+    // field-restricted phrase: title:"slow scans" only matches a.test/2
+    assert(se.search("title:\"slow scans\"", k = 4)
+      .select($"url").as[String].collect().toSeq == Seq("http://a.test/2"))
+    // stemmed phrase: "joins fasts" stems to the same adjacent pair
+    assert(se.searchAnd("\"joins fasts\"").as[String].collect().toSeq ==
+      Seq("http://a.test/1"))
+  }
+
   test("search: BM25F field weights change the ranking") {
     // query 'spark': b.test/1 has 3x 'spark' in content (no title match
     // — 'sparkles' stems to 'sparkl'); a.test/1 has it in the title.
