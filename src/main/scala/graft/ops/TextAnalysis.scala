@@ -134,6 +134,24 @@ object TextAnalysis {
   }
 
   /**
+   * BPE tokenizer-training merge step (Sennrich et al. 2016, public):
+   * adjacent character-pair counts over the corpus vocabulary, weighted
+   * by word frequency — argmax(count) is the next merge. The corpus is
+   * touched exactly once (the token-frequency aggregation); the pair
+   * explode runs over the DISTINCT vocabulary, which is orders of
+   * magnitude smaller and broadcastable, so iterating the merge loop
+   * costs one corpus pass total regardless of merge count.
+   */
+  def bpePairCounts(df: DataFrame, id: String, text: String): DataFrame =
+    tokenFrequency(df, id, text)
+      .filter(length(col("token")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("token")) - 1),
+          i => col("token").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /**
    * Positional adjacency matcher (phrase queries): `positions` holds
    * (keyCols..., pos, token) rows; returns the distinct keys whose
    * token stream contains `terms` adjacently, in order. The stream is

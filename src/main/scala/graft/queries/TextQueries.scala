@@ -62,6 +62,24 @@ object TextQueries {
       |WHERE regexp_matches(lower(text), '\bhash[^a-z0-9]+join\b')
       |ORDER BY doc_id""".stripMargin
 
+  /** q66: BPE merge-step pair counts — adjacent character pairs over the
+    * vocabulary weighted by word frequency (argmax = next BPE merge);
+    * one corpus pass, vocab-sized explode. */
+  def q66BpePairs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpePairCounts(documents(s, d), "doc_id", "text")
+      .orderBy(col("pair"))
+
+  val q66Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS token
+      | FROM documents),
+      |tf AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+      |p AS (
+      | SELECT freq, unnest(list_transform(range(1, len(token)), i -> substr(token, i, 2))) AS pair
+      | FROM tf WHERE len(token) >= 2)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
+      |GROUP BY pair ORDER BY pair""".stripMargin
+
   /** q44: Porter-stemmed token statistics (C4 — the reference's Whoosh
     * StemmingAnalyzer, `indexer/indexer_node.py:63-67`). The Spark side
     * stems via the real PorterStemmer codegen expression; the DuckDB
