@@ -66,6 +66,11 @@ object SparkEntry {
     "q51_repetition"     -> TextQueries.q51Repetition _,
     "q65_phrase_match"   -> TextQueries.q65PhraseMatch _,
     "q66_bpe_pairs"      -> TextQueries.q66BpePairs _,
+    // no oracleSql (driver-iterated merge loop is not one SQL statement;
+    // exactness pinned by the Sennrich worked example in CurationSpec)
+    "q67_bpe_merges"     -> ((s: SparkSession, d: String) =>
+      graft.ops.TextAnalysis.bpeMerges(Tables.documents(s, d), "doc_id", "text", 20)
+        .orderBy(org.apache.spark.sql.functions.col("merge_idx"))),
     "q53_domain_mix"     -> CurationQueries.q53DomainMix _,
     "q58_curation_pipe"  -> CurationQueries.q58CurationPipeline _,
     "q61_decontam"       -> CurationQueries.q61Decontam _,

@@ -152,6 +152,60 @@ object TextAnalysis {
       .agg(sum(col("freq")).as("cnt"))
 
   /**
+   * Full BPE training loop: greedy merges over the (symbol-sequence,
+   * freq) vocabulary, highest count first (ties: lexicographic pair) —
+   * the standard tokenizer-training algorithm. The corpus is read
+   * exactly once (the token-frequency aggregate); every iteration is a
+   * vocab-sized pair count + a vocab-sized regexp merge, materialized
+   * per step (`localCheckpoint`) so iteration k never recomputes the
+   * k-1 merge chain. The merge itself is left-to-right non-overlapping
+   * (Java regexp semantics match BPE's scan order). Inherently
+   * sequential across iterations — each merge depends on the previous —
+   * so the loop is driver-driven over small jobs, not one big plan.
+   * Returns (merge_idx, pair, cnt), the ordered merge table.
+   */
+  def bpeMerges(df: DataFrame, id: String, text: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = tokenFrequency(df, id, text)
+      .select(col("freq"),
+        // split-on-"" keeps a trailing empty element (Java split with
+        // limit -1) — drop empties before joining into the symbol seq
+        array_join(filter(split(col("token"), ""), s => length(s) > 0), " ").as("seq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val syms = split(col("seq"), " ")
+      val top = vocab
+        .filter(size(syms) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(syms) - 2),
+            j => concat(element_at(syms, j + 1), lit(" "), element_at(syms, j + 2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((i, pair, top(0).getLong(1)))
+        val Array(a, b) = pair.split(" ", 2)
+        val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+          java.util.regex.Pattern.quote(b) + "(?=$| )"
+        val old = vocab
+        vocab = vocab.withColumn("seq",
+            regexp_replace(col("seq"),
+              pat, java.util.regex.Matcher.quoteReplacement(a + b)))
+          .localCheckpoint()
+        old.unpersist(blocking = false)
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("merge_idx", "pair", "cnt")
+  }
+
+  /**
    * Positional adjacency matcher (phrase queries): `positions` holds
    * (keyCols..., pos, token) rows; returns the distinct keys whose
    * token stream contains `terms` adjacently, in order. The stream is

@@ -103,6 +103,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bpeMerges: Sennrich worked example — greedy order with lexicographic ties") {
+    // freqs: low x5, lower x2, newest x6, widest x3.
+    // pair counts round 1: "e s" = 9 (newest+widest), "s t" = 9 -> tie,
+    // "e s" wins lexicographically; then "es t" = 9; then "l o" = 7 ties
+    // "o w" = 7 -> "l o"; then "lo w" = 7.
+    val docs = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, "doc_id", "text", nMerges = 4)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0, "e s", 9L), (1, "es t", 9L), (2, "l o", 7L), (3, "lo w", 7L)))
+  }
+
   test("domainMixWeights: alpha<1 up-weights small sources; weights sum to ~1") {
     val docs = (Seq.fill(90)(("big", "w " * 50)) ++ Seq.fill(10)(("small", "w " * 50)))
       .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
