@@ -103,6 +103,34 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("packSequences: randomized exclusive-prefix-sum invariant (one job)") {
+    val rnd = new scala.util.Random(42)
+    val counts = (0 until 120).map(i => i.toLong -> rnd.nextInt(40).toLong)
+    val docs = counts.map { case (id, n) =>
+      (id, Seq.fill(n.toInt)("w").mkString(" ")) }.toDF("doc_id", "text")
+    val got = Curation.packSequences(docs.repartition(5), "doc_id",
+        size(TextAnalysis.tokensCol($"text")), budget = 7L)
+      .select($"doc_id", $"n_tokens", $"start_tok", $"pack_first", $"pack_last")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 120)
+    var acc = 0L
+    got.foreach { case (id, n, start, pf, pl) =>
+      assert(n == counts(id.toInt)._2)
+      assert(start == acc, s"doc $id: start $start != exclusive prefix $acc")
+      assert(pf == start / 7 && pl == math.max(start, start + n - 1) / 7)
+      acc += n
+    }
+  }
+
+  test("phraseMatch: repeated-term phrase requires true adjacency") {
+    val docs = Seq(
+      (1L, "table x table table y"),
+      (2L, "table x table z")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseMatch(docs, "doc_id", "text", Seq("table", "table"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
   test("bpeMerges: Sennrich worked example — greedy order with lexicographic ties") {
     // freqs: low x5, lower x2, newest x6, widest x3.
     // pair counts round 1: "e s" = 9 (newest+widest), "s t" = 9 -> tie,
