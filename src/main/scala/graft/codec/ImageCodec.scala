@@ -40,10 +40,13 @@ object ImageCodec {
 
   def width(bytes: Array[Byte]): Int = readInt(bytes, 2)
   def height(bytes: Array[Byte]): Int = readInt(bytes, 6)
+  /** 'QV' = current variable-length coefficient stream; 'QD' = the
+    * legacy fixed-2-byte-short stream (still decoded — a store written
+    * by the older encoder must not silently mis-decode as varints). */
   def format(bytes: Array[Byte]): String =
     if (bytes.length < 2) "unknown"
     else if (bytes(0) == 'G' && bytes(1) == '8') FmtRaw
-    else if (bytes(0) == 'Q' && bytes(1) == 'D') FmtQdct
+    else if (bytes(0) == 'Q' && (bytes(1) == 'V' || bytes(1) == 'D')) FmtQdct
     else "unknown"
 
   // ---- rawg8 (lossless) ----
@@ -96,7 +99,7 @@ object ImageCodec {
     // a 2-byte short. ~1 byte/px typical vs 2 for fixed shorts —
     // halves lossy payload bytes through parquet/shuffle/disk.
     val buf = s.bufAtLeast(10 + bw * bh * 64 * 3)
-    buf(0) = 'Q'.toByte; buf(1) = 'D'.toByte
+    buf(0) = 'Q'.toByte; buf(1) = 'V'.toByte
     writeInt(buf, 2, w); writeInt(buf, 6, h)
     var p = 10
     var by = 0
@@ -144,19 +147,27 @@ object ImageCodec {
         val block = s.block
         val tmp = s.tmp
         val sp = s.freq
-        var p = 10 // sequential variable-length coefficient stream
+        // 'QV': variable-length coefficient stream; 'QD' (legacy):
+        // fixed 2-byte big-endian shorts
+        val varlen = bytes(1) == 'V'.toByte
+        var p = 10
         var by = 0
         while (by < bh) {
           var bx = 0
           while (bx < bw) {
             var j = 0
             while (j < 64) {
-              val b = bytes(p)
               val c =
-                if (b == 0x80.toByte) {
-                  val v = ((bytes(p + 1) << 8) | (bytes(p + 2) & 0xff)).toShort
-                  p += 3; v
-                } else { p += 1; b.toShort }
+                if (!varlen) {
+                  val v = ((bytes(p) << 8) | (bytes(p + 1) & 0xff)).toShort
+                  p += 2; v
+                } else {
+                  val b = bytes(p)
+                  if (b == 0x80.toByte) {
+                    val v = ((bytes(p + 1) << 8) | (bytes(p + 2) & 0xff)).toShort
+                    p += 3; v
+                  } else { p += 1; b.toShort }
+                }
               block(j) = c * QStep
               j += 1
             }

@@ -87,10 +87,14 @@ object Curation {
                     budget: Long): DataFrame = {
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
+    // eager localCheckpoint (not persist): both rdd passes below read the
+    // materialized blocks, and the RDD is reclaimed by the ContextCleaner
+    // once callers drop the result — persist would pin a cache-manager
+    // entry per invocation for the session lifetime
     val base = df.select(col(id), nTokens.cast("long").as("n_tokens"))
       .repartitionByRange(nParts, col(id))
       .sortWithinPartitions(col(id))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val partSums = base.rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((pid, s))
     }.collect().toMap

@@ -166,8 +166,8 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     val joined = pend.join(broadcast(robotsDf), Seq("host"), "left")
       .withColumn("__path", url_path($"url"))
       .localCheckpoint(false)
-    val disallowedCol = $"disallow_prefixes".isNotNull &&
-      exists($"disallow_prefixes", p => startswith($"__path", p))
+    val disallowedCol =
+      graft.robots.RobotsTxt.disallowedCol($"__path", $"disallow_prefixes")
     val denied = joined.filter(disallowedCol)
     val allowed = joined.filter(!disallowedCol)
 
@@ -450,6 +450,12 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     val snapId = store.commit(deltas.result(),
       Map("wave" -> wave.toString, "fetched" -> nFetched.toString, "new_urls" -> nNew.toString),
       staged = staged.result())
+    // an all-denied wave stages an empty images dir that no manifest
+    // references (it is excluded from `staged` above) — remove it after
+    // the commit's fetchlog write has re-read it, mirroring the staged
+    // frontier cleanup
+    if (nFetched == 0)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedImagesDir))
 
     // advance driver caches to the committed state: counts come from the
     // manifest footer stats of the just-committed delta dirs; the state
@@ -457,7 +463,19 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     // parquet relation — zero jobs here)
     maxSeqCache = Some(maxSeq + nNew)
     loggedCache = Some(store.tableStat("fetchlog", Some(snapId)).map(_._1)
-      .getOrElse(logged + nFetched)) // exact: nFetched + nDenied
+      .getOrElse {
+        // resume-from-pre-stats store: legacy dirs without footer stats
+        // poison the table total, but the delta THIS commit wrote
+        // (d<snapId>) always has stats — its exact row count is
+        // nFetched + nDenied, keeping the drained check
+        // (logged >= maxSeq) exact even with robots denials
+        val sep = java.io.File.separator
+        val deltaRows = store.manifest(snapId).stats
+          .getOrElse("fetchlog", Seq.empty)
+          .filter(_.dir.endsWith(s"${sep}d$snapId"))
+          .map(_.rows).filter(_ >= 0).sum
+        logged + (if (deltaRows > 0) deltaRows else nFetched)
+      })
     frontierState = None
     flogKeysState = None
     if (nNew > 0 && !useBuckets)

@@ -156,8 +156,8 @@ object UrlQueries {
         concat(lit("h"), ($"doc_id" % 4).cast("string"), lit(".example.test")).as("host"),
         path.as("path"))
       .join(broadcast(rules), Seq("host"), "left")
-      .withColumn("allowed", $"disallow_prefixes".isNull ||
-        !exists($"disallow_prefixes", p => startswith($"path", p)))
+      .withColumn("allowed",
+        !graft.robots.RobotsTxt.disallowedCol($"path", $"disallow_prefixes"))
       .withColumn("delay", coalesce($"crawl_delay", lit(1.0)))
       .select($"doc_id", $"host", $"path", $"allowed", $"delay")
       .orderBy($"doc_id")

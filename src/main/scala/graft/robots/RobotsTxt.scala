@@ -30,6 +30,17 @@ import graft.model.RobotsRule
  */
 object RobotsTxt {
 
+  /** Column-level disallow predicate — THE one implementation shared by
+    * the crawl wave (F4, CrawlPipeline.runWave) and the oracle query
+    * (q55): a row is disallowed iff a rules row joined on (null-safe)
+    * and some disallow prefix matches the url path. Null prefixes ⇒
+    * allowed (the reference's permissive fetch-failure default). */
+  def disallowedCol(pathCol: org.apache.spark.sql.Column,
+                    prefixesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{exists, startswith}
+    prefixesCol.isNotNull && exists(prefixesCol, p => startswith(pathCol, p))
+  }
+
   /** One `Allow`/`Disallow` line, in file order. */
   final case class Rule(allow: Boolean, path: String) {
     def matches(urlPath: String): Boolean = path.isEmpty || urlPath.startsWith(path)

@@ -135,8 +135,12 @@ class SearchEngine(spark: SparkSession, docs: DataFrame,
     // adjacency requirement is enforced as a candidate filter below
     val qterms = (plainTerms ++
       phrases.flatMap(p => p.terms.map(QTerm(p.field, _)))).distinct
-    if (qterms.isEmpty) return spark.emptyDataFrame
-      .withColumn("rank", lit(0)).limit(0)
+    // empty/no-token query: empty result with the NORMAL schema, so
+    // callers can select/write uniformly
+    if (qterms.isEmpty) return docs
+      .select(lit(0).cast("int").as("rank"), $"url", $"title", $"domain",
+        lit(0.0).as("score"), lit("").as("snippet"))
+      .limit(0)
     val allTerms = qterms.map(_.term).distinct
 
     // per-(url, field, term) tf over query terms only

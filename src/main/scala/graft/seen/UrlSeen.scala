@@ -44,8 +44,10 @@ object UrlSeen {
   /** xxhash64(urlCol) — the key both sketch builders and probes use. */
   private def keyCol(urlCol: String): Column = xxhash64(col(urlCol))
 
-  /** Scala-side xxhash64 identical to the SQL expression (seed 42). */
-  private def xx64(s: String): Long =
+  /** Scala-side xxhash64 identical to the SQL expression (seed 42).
+    * Test/driver-side helper only — row-at-a-time paths compute the
+    * hash as a native codegen column instead (classifyBucketed). */
+  private[seen] def xx64(s: String): Long =
     XxHash64(Seq(Literal(UTF8String.fromString(s))), 42L)
       .eval(null).asInstanceOf[Long]
 
@@ -113,25 +115,30 @@ object UrlSeen {
    */
   def classifyBucketed(candidates: DataFrame, sketches: DataFrame,
                        urlCol: String, nBuckets: Int): DataFrame = {
-    val spark = candidates.sparkSession
-    val schema = candidates.schema
-    val outSchema = schema.add("might_be_seen", BooleanType, nullable = false)
+    // the key is computed ONCE per row as a native codegen column before
+    // the typed boundary — an interpreted per-row Catalyst eval here
+    // would put allocation churn on the highest-volume filter in the
+    // system (this module's whole reason to exist)
+    require(!candidates.columns.contains("__h"), "candidates already have a __h column")
+    val withH = candidates.withColumn("__h", keyCol(urlCol))
+    val schema = withH.schema
+    val outSchema = candidates.schema.add("might_be_seen", BooleanType, nullable = false)
     val candEnc = Encoders.row(schema)
     val skEnc = Encoders.row(sketches.schema)
     val outEnc = Encoders.row(outSchema)
-    val urlIdx = schema.fieldIndex(urlCol)
+    val hIdx = schema.fieldIndex("__h")
     val n = nBuckets.toLong
-    val candK = candidates.as(candEnc)
-      .groupByKey(r => Math.floorMod(xx64(r.getString(urlIdx)), n))(Encoders.scalaLong)
+    val candK = withH.as(candEnc)
+      .groupByKey(r => Math.floorMod(r.getLong(hIdx), n))(Encoders.scalaLong)
     val skK = sketches.as(skEnc)
       .groupByKey(_.getLong(0))(Encoders.scalaLong)
     candK.cogroup(skK) { (_, candIt, skIt) =>
       val bf = skIt.buffered.headOption.map(r =>
         BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("sketch"))))
       bf match {
-        case None => candIt.map(r => Row.fromSeq(r.toSeq :+ false))
+        case None => candIt.map(r => Row.fromSeq(r.toSeq.init :+ false))
         case Some(f) => candIt.map { r =>
-          Row.fromSeq(r.toSeq :+ f.mightContainLong(xx64(r.getString(urlIdx))))
+          Row.fromSeq(r.toSeq.init :+ f.mightContainLong(r.getLong(hIdx)))
         }
       }
     }(outEnc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
@@ -142,8 +149,14 @@ object UrlSeen {
   def filterNewBucketed(candidates: DataFrame, seen: DataFrame, urlCol: String,
                         nBuckets: Int, itemsPerBucket: Long, fpp: Double = 0.01): DataFrame = {
     val sketches = bucketSketches(seen, urlCol, nBuckets, itemsPerBucket, fpp)
+    // eager localCheckpoint, not persist: the two consumers below (split
+    // + anti-join) must not recompute the cogroup, and an RDD-level
+    // checkpoint is reclaimed by the ContextCleaner once the wave's
+    // plans drop their references — an explicit persist would pin one
+    // cached table per wave in the cache manager for the session
+    // lifetime on exactly the long-crawl path this function exists for
     val classified = classifyBucketed(candidates, sketches, urlCol, nBuckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val definitelyNew = classified.filter(!col("might_be_seen")).drop("might_be_seen")
     val maybeSeen = classified.filter(col("might_be_seen")).drop("might_be_seen")
     definitelyNew.unionByName(

@@ -29,6 +29,23 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy fixed-short 'QD' streams still decode; current magic is 'QV'") {
+    // current encoder tags the varlen stream 'QV'
+    val px = SyntheticWeb.pixelsFor(42L, 1L, 16, 16)
+    val now = ImageCodec.encodeQdct(px, 16, 16)
+    assert(now(0) == 'Q'.toByte && now(1) == 'V'.toByte)
+    assert(ImageCodec.format(now) == ImageCodec.FmtQdct)
+    // hand-built legacy stream: 8x8 flat gray -> all-zero DCT
+    // coefficients as fixed 2-byte shorts; must decode to 128s, not be
+    // misread as a varint stream
+    val legacy = new Array[Byte](10 + 64 * 2)
+    legacy(0) = 'Q'.toByte; legacy(1) = 'D'.toByte
+    legacy(5) = 8.toByte; legacy(9) = 8.toByte // big-endian w = h = 8
+    val (out, w, h) = ImageCodec.decode(legacy)
+    assert(w == 8 && h == 8)
+    assert(out.forall(_ == 128.toByte))
+  }
+
   test("decode is deterministic (bit-identical across calls)") {
     val px = SyntheticWeb.pixelsFor(7L, 5L, 64, 48)
     val enc = ImageCodec.encodeQdct(px, 64, 48)
