@@ -246,6 +246,13 @@ object Bench {
       }
     } finally spark.stop()
 
+    // Iteration aid: time the query suite without the (long) crawl legs.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
+      val qj = queryTimes.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString(",")
+      println(s"""BENCH_QUERIES {$qj,"total":${f"${queryTimes.map(_._2).sum}%.3f"}}""")
+      return
+    }
+
     // 2) north metric: frontier drain at N vs 4N cores. Host noise
     // spikes runs 2-3x for minutes at a time (it only ever ADDS time),
     // so: (a) before each leg a single-thread probe waits out co-tenancy

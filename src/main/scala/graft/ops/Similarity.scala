@@ -27,13 +27,18 @@ object Similarity {
   def scaledCol(emb: Column): Column =
     transform(emb, v => round(v.cast("double") * Scale).cast("long"))
 
-  /** Exact integer dot product of two scaled vectors. */
+  /** Exact integer dot product of two scaled vectors — a native codegen
+    * expression ([[graft.functions.LongDot]]): the declarative
+    * aggregate(zip_with) form runs interpreted (higher-order functions
+    * have no codegen) and dominated the IVF assignment's
+    * |corpus|×|centroids| dot products. Same ascending-index long
+    * accumulation, bit-identical results. */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.LongDot.column(a, b)
 
   /** Squared L2 norm (exact integer) of a scaled vector. */
   def norm2Col(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+    graft.functions.LongDot.column(a, a)
 
   /** Adds `scaled` and `norm2` columns. */
   def withScaled(df: DataFrame, emb: String): DataFrame = {
@@ -90,8 +95,7 @@ object Similarity {
     }
     val bucketExpr = (0 until nPlanes).map { p =>
       val plane = array(planeArrays(p).map(lit(_)).toIndexedSeq: _*)
-      val dot = aggregate(zip_with(col("scaled"), plane, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+      when(dotCol(col("scaled"), plane) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
     scaled.withColumn("bucket", bucketExpr.cast("int"))
   }
