@@ -82,6 +82,8 @@ object SparkEntry {
     "q37_frame_sample"   -> SimQueries.q37FrameSample _,
     "q39_lsh_cosine_pairs" -> SimQueries.q39LshCosinePairs _,
     "q45_ivf_ann"        -> SimQueries.q45IvfAnn _,
+    "q68_quantize_int8"  -> SimQueries.q68QuantizeInt8 _,
+    "q69_quantized_knn"  -> SimQueries.q69QuantizedKnn _,
     // rows-only check (no SQL oracle — real in-repo image codec; see q47 scaladoc)
     "q47_image_features" -> SimQueries.q47ImageFeatures _,
     // snapshot-metadata statistics (A3/A7) + storage layout
@@ -148,6 +150,8 @@ object SparkEntry {
     "q37_frame_sample"   -> SimQueries.q37Sql,
     "q39_lsh_cosine_pairs" -> SimQueries.q39Sql,
     "q45_ivf_ann"        -> SimQueries.q45Sql,
+    "q68_quantize_int8"  -> SimQueries.q68Sql,
+    "q69_quantized_knn"  -> SimQueries.q69Sql,
     "q40_storage_stats"  -> StorageQueries.q40Sql,
     "q54_bucketed_join"  -> StorageQueries.q54Sql,
   )

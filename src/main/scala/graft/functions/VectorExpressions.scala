@@ -2,14 +2,15 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types._
 
 /**
- * Native codegen dot product over fixed-point long vectors (the
- * similarity ops' hot kernel, SURVEY.md §2.9). The declarative form —
+ * Native codegen dot product over integral vectors (the similarity ops'
+ * hot kernel, SURVEY.md §2.9). The declarative form —
  * `aggregate(zip_with(a, b, _*_), 0, _+_)` — runs INTERPRETED: Spark's
  * higher-order functions have no doGenCode, so every product allocates
  * lambda-variable holders and boxes through `eval`. At q45's shape
@@ -19,26 +20,63 @@ import org.apache.spark.sql.types.{DataType, LongType}
  * order (ascending index, long wrap-around) is identical to the
  * `aggregate` fold, so results are bit-identical to the oracle either
  * way.
+ *
+ * Accepts any integral element type per side (byte/short/int/long) so
+ * the fixed-point 2^20 long vectors and the int8-quantized vectors
+ * ([[graft.ops.Similarity.quantizeInt8]]) share one kernel; the element
+ * accessor is picked at plan time and inlined as a constant kind.
  */
 case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
+
+  private def kindOf(e: Expression): Int = e.dataType match {
+    case ArrayType(ByteType, _)    => 0
+    case ArrayType(ShortType, _)   => 1
+    case ArrayType(IntegerType, _) => 2
+    case _                         => 3 // ArrayType(LongType) — enforced by checkInputDataTypes
+  }
+  private lazy val kindL = kindOf(left)
+  private lazy val kindR = kindOf(right)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_dot needs integral arrays, got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    LongDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    LongDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], kindL, kindR)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.LongDot.dot($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.LongDot.dot($a, $b, $kindL, $kindR)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDot =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "long_dot"
 }
 
 object LongDot {
-  /** Static kernel shared by interpreted eval and generated code. */
-  def dot(x: ArrayData, y: ArrayData): Long = {
+  /** Static kernel shared by interpreted eval and generated code.
+    * kind: 0=byte, 1=short, 2=int, 3=long (constant per call site). */
+  def dot(x: ArrayData, y: ArrayData, kx: Int, ky: Int): Long = {
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    if (kx == 3 && ky == 3) { // fast path: the fixed-point long vectors
+      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    } else {
+      while (i < n) { s += get(x, i, kx) * get(y, i, ky); i += 1 }
+    }
     s
+  }
+
+  @inline private def get(a: ArrayData, i: Int, k: Int): Long = k match {
+    case 0 => a.getByte(i).toLong
+    case 1 => a.getShort(i).toLong
+    case 2 => a.getInt(i).toLong
+    case _ => a.getLong(i)
   }
 
   def column(a: Column, b: Column): Column =

@@ -194,6 +194,51 @@ object Similarity {
       .withColumn("is_dup", col("dup_of").isNotNull)
   }
 
+  /**
+   * Symmetric per-vector int8 quantization (the standard vector-index
+   * compression: FAISS SQ8 / scalar quantization, public). Each vector
+   * gets `qscale = max|v| / 127` and `q[i] = round(v[i] / qscale)` in
+   * [-127, 127], stored as `array<tinyint>` — 4× smaller than float32,
+   * which at 100-TB corpus scale is the difference between an ANN index
+   * that fits executor memory and one that doesn't.
+   *
+   * Determinism: float→double is exact, the division and round are
+   * single IEEE ops, so `q` and `qscale` are bit-identical across
+   * engines — no rounding fudge needed in the oracle. Zero vectors
+   * quantize to zeros (qscale 0 guard).
+   */
+  def quantizeInt8(df: DataFrame, emb: String): DataFrame = {
+    val vd = transform(col(emb), v => v.cast("double"))
+    df.withColumn("qscale", array_max(transform(vd, v => abs(v))) / 127d)
+      .withColumn("q",
+        when(col("qscale") === 0d, transform(col(emb), _ => lit(0).cast("byte")))
+          .otherwise(transform(col(emb), v => round(v.cast("double") / col("qscale")).cast("byte"))))
+  }
+
+  /**
+   * Brute-force cosine top-k over int8-QUANTIZED vectors: per-vector
+   * scales cancel in the cosine (dot(qa,qb)·sa·sb / (‖qa‖sa · ‖qb‖sb)),
+   * so the quantized similarity is pure integer math + sqrt — exactly
+   * oracle-checkable like the float path, at 1/4 the vector bytes. The
+   * byte arrays run through the same codegen `long_dot` kernel.
+   */
+  def quantizedTopK(df: DataFrame, id: String, emb: String,
+                    querySel: Column, k: Int): DataFrame = {
+    val qz = quantizeInt8(df, emb)
+      .select(col(id), col("q"), norm2Col(col("q")).as("qn2"))
+    val q = qz.filter(querySel)
+      .select(col(id).as("query_id"), col("q").as("qa"), col("qn2").as("na"))
+    val c = qz.select(col(id).as("neighbor_id"), col("q").as("qb"), col("qn2").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qsim", cosine(dotCol(col("qa"), col("qb")), col("na"), col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("qsim"))
+  }
+
   /** LSH-bucketed near-dup pairs: same bucket, cosine >= minSim.
     *
     * The bucketed projection is materialized ONCE (localCheckpoint)

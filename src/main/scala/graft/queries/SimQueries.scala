@@ -152,6 +152,75 @@ object SimQueries {
       |FROM cells c LEFT JOIN d ON d.hi = c.vec_id
       |ORDER BY c.vec_id""".stripMargin
 
+  /** q68: symmetric int8 scalar quantization (FAISS-SQ8-style) — per
+    * vector the scale, quantized norm, max |q| (must reach 127 at the
+    * max element) and the max reconstruction error. Every output is
+    * exact integer math or single-rounding IEEE ops, so no rounding
+    * fudge is needed vs the oracle. */
+  def q68QuantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val qz = Similarity.quantizeInt8(embeddings(s, d), "embedding")
+    qz.select(
+        col("vec_id"),
+        col("qscale"),
+        Similarity.norm2Col(col("q")).as("qnorm2"),
+        array_max(transform(col("q"), x => abs(x.cast("int")))).as("qmax"),
+        array_max(zip_with(
+          transform(col("embedding"), v => v.cast("double")), col("q"),
+          (v, q) => abs(v - q.cast("double") * col("qscale")))).as("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q68Sql: String =
+    """WITH v AS (
+      | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+      |s AS (
+      | SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) / 127 AS qscale FROM v),
+      |qt AS (
+      | SELECT vec_id, vd, qscale,
+      |  CASE WHEN qscale = 0 THEN list_transform(vd, x -> CAST(0 AS BIGINT))
+      |       ELSE list_transform(vd, x -> CAST(round(x / qscale) AS BIGINT)) END AS q
+      | FROM s)
+      |SELECT vec_id, qscale,
+      | CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qnorm2,
+      | CAST(list_max(list_transform(q, x -> abs(x))) AS INT) AS qmax,
+      | list_max(list_transform(range(64), i -> abs(vd[i+1] - CAST(q[i+1] AS DOUBLE) * qscale))) AS max_err
+      |FROM qt ORDER BY vec_id""".stripMargin
+
+  /** q69: brute-force cosine top-10 over the QUANTIZED vectors (per-
+    * vector scales cancel in the cosine) — the int8 index answers the
+    * same queries as q24 at 1/4 the vector bytes; byte arrays go
+    * through the same codegen long_dot kernel. */
+  def q69QuantizedKnn(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizedTopK(embeddings(s, d), "vec_id", "embedding",
+        querySel = col("vec_id") % 25 === 0, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+
+  val q69Sql: String =
+    """WITH v AS (
+      | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+      |s AS (
+      | SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) / 127 AS qscale FROM v),
+      |qt AS (
+      | SELECT vec_id,
+      |  CASE WHEN qscale = 0 THEN list_transform(vd, x -> CAST(0 AS BIGINT))
+      |       ELSE list_transform(vd, x -> CAST(round(x / qscale) AS BIGINT)) END AS q
+      | FROM s),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qt),
+      |dots AS (
+      | SELECT t.qid AS query_id, t.nid AS neighbor_id, t.qn AS qn, t.cn AS cn, sum(t.ae * t.be) AS dot
+      | FROM (SELECT a.vec_id AS qid, c.vec_id AS nid, a.n2 AS qn, c.n2 AS cn,
+      |              unnest(a.q) AS ae, unnest(c.q) AS be
+      |       FROM n a JOIN n c ON a.vec_id % 25 = 0 AND a.vec_id <> c.vec_id) t
+      | GROUP BY 1, 2, 3, 4),
+      |ranked AS (
+      | SELECT query_id, neighbor_id,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS qsim,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC, neighbor_id) AS INT) AS rank
+      | FROM dots)
+      |SELECT query_id, rank, neighbor_id, qsim FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** q36: multimodal metadata decode over a binary column (stubbed codec;
     * real mapPartitions plumbing over unhex(md5(text)) blobs). */
   def q36MultimodalMeta(s: SparkSession, d: String): DataFrame = {

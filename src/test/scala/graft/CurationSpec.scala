@@ -79,6 +79,55 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("quantizeInt8: qmax hits 127, zero vector -> zeros, |error| <= qscale/2") {
+    import graft.ops.Similarity
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: qscale-0 guard
+      (3L, Array(-1.0f, 1.0f, 0.5f, -0.03f)))
+      .toDF("vec_id", "embedding")
+    // q is array<tinyint>; Scala Array[Byte] encodes as BinaryType, so
+    // widen to int for collection
+    val got = Similarity.quantizeInt8(df, "embedding")
+      .select($"vec_id", $"qscale", transform($"q", x => x.cast("int")).as("q"), $"embedding")
+      .as[(Long, Double, Array[Int], Array[Float])].collect().sortBy(_._1)
+    for ((id, qscale, q, v) <- got) {
+      if (id == 2L) {
+        assert(qscale == 0.0 && q.forall(_ == 0))
+      } else {
+        assert(qscale == v.map(x => math.abs(x.toDouble)).max / 127)
+        assert(q.map(math.abs).max == 127, s"vec $id qmax != 127")
+        for ((x, b) <- v.zip(q))
+          assert(math.abs(x.toDouble - b * qscale) <= qscale / 2 + 1e-12,
+            s"vec $id: element $x reconstructs to ${b * qscale}")
+      }
+    }
+  }
+
+  test("long_dot: codegen kernel across integral element types + length guard") {
+    // byte/short columns built by cast (Array[Byte] literals would encode
+    // as BinaryType, not array<tinyint>)
+    val df = Seq((Array(1, -2, 3), Array(10L, 20L, 30L), Array(1, 2, 4), Array(5, 6)))
+      .toDF("b0", "l", "i", "s0")
+      .select(transform(col("b0"), x => x.cast("byte")).as("b"), col("l"), col("i"),
+        transform(col("s0"), x => x.cast("short")).as("short2"))
+    def dot(a: String, c: String): Long = {
+      import graft.functions.LongDot
+      df.select(LongDot.column(col(a), col(c)).as("d")).as[Long].head()
+    }
+    assert(dot("b", "l") == 10L - 40L + 90L)
+    assert(dot("b", "b") == 1L + 4L + 9L)
+    assert(dot("i", "l") == 10L + 40L + 120L)
+    assert(dot("l", "l") == 100L + 400L + 900L)
+    // unequal lengths: min-length semantics (zip_with-with-trim analogue)
+    assert(dot("b", "short2") == 5L - 12L)
+    // non-integral arrays are a type-check error, not a runtime surprise
+    val bad = Seq((Array(1.0, 2.0))).toDF("d")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(graft.functions.LongDot.column(col("d"), col("d"))).head()
+    }
+  }
+
   test("semanticDedup: identical vectors collapse to the min-id keeper") {
     import graft.ops.Similarity
     // 0 and 8 are centroids (centEvery=8). 1,2,9 share 0's direction ->

@@ -95,6 +95,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q59 pair join is not an equi-join:\n${p.take(2000)}")
   }
 
+  test("similarity dot products run the codegen long_dot kernel, not interpreted HOFs") {
+    // aggregate(zip_with(...)) has no doGenCode — it boxes through eval
+    // per element. The similarity ops must plan the native expression
+    // (round-2 finding: the interpreted form was 4.1 s of q45's 4.3 s).
+    for (name <- Seq("q24_knn_cosine", "q45_ivf_ann", "q69_quantized_knn")) {
+      val p = plan(name)
+      assert(p.contains("long_dot"), s"$name does not plan the codegen kernel:\n${p.take(1500)}")
+      assert(!p.contains("aggregate(zip_with"),
+        s"$name still has an interpreted HOF dot:\n${p.take(1500)}")
+    }
+  }
+
   test("q55: robots rules broadcast; prefix predicate is pure column logic") {
     val p = plan("q55_robots_filter")
     assert(p.contains("BroadcastHashJoin"), s"robots join is not broadcast:\n$p")
