@@ -29,6 +29,7 @@ object SparkEntry {
     "q30_tumbling"       -> Relational.q30Tumbling _,
     "q64_crawl_alerts"   -> Relational.q64CrawlAlerts _,
     "q31_sessionize"     -> Relational.q31Sessionize _,
+    "q70_session_window" -> Relational.q70SessionWindow _,
     "q32_error_routing"  -> Relational.q32ErrorRouting _,
     "q41_response_stats" -> Relational.q41ResponseStats _,
     "q42_json_roundtrip" -> Relational.q42JsonRoundtrip _,
@@ -107,6 +108,7 @@ object SparkEntry {
     "q30_tumbling"       -> Relational.q30Sql,
     "q64_crawl_alerts"   -> Relational.q64Sql,
     "q31_sessionize"     -> Relational.q31Sql,
+    "q70_session_window" -> Relational.q70Sql,
     "q32_error_routing"  -> Relational.q32Sql,
     "q41_response_stats" -> Relational.q41Sql,
     "q42_json_roundtrip" -> Relational.q42Sql,

@@ -312,6 +312,40 @@ object Relational {
       |       THEN 1 ELSE 0 END AS new_s
       | FROM events) GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q70: the NATIVE session-window operator (`session_window(ts, gap)`)
+    * — the idiomatic Spark form of q31's manual lag+flag sessionization,
+    * and the one that runs unchanged under Structured Streaming with
+    * state-store-backed merging. Semantics: each event extends its
+    * session's end to ts + gap; a gap >= 30 min starts a new session,
+    * so session_end = last_ts + gap. The oracle rebuilds that with
+    * gaps-and-islands at microsecond precision. */
+  def q70SessionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"), $"w.end".as("session_end"),
+        $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val q70Sql: String =
+    """WITH x AS (
+      | SELECT user_id, ts, event_id,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |        OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+      |       THEN 1 ELSE 0 END AS new_s
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      | SELECT user_id, ts,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM x)
+      |SELECT user_id, min(ts) AS session_start,
+      | max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** q41: response-time-style stats (A6: `performance_optimizer.py:88-96`) —
     * n/min/max/mean plus an EXACT median (row_number-selected middle
     * values, decimal-exact midpoint) instead of percentile_approx, so the

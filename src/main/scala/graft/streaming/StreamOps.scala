@@ -45,6 +45,20 @@ object StreamOps {
                     watermark: String = "10 minutes"): DataFrame =
     urls.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("url")
 
+  /** Streaming sessionization — the SAME native `session_window`
+    * aggregation as the batch q70 query, under a watermark: the state
+    * store merges overlapping per-key windows as events arrive, and a
+    * session emits exactly once (append) when the watermark passes its
+    * end (last event + gap). State is bounded by open sessions within
+    * the horizon, not by history. */
+  def sessionizedCounts(events: DataFrame, gap: String = "30 minutes",
+                        watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   case class FetchEvent(host: String, url: String)
   case class BudgetBreach(host: String, nFetches: Long)
 

@@ -152,6 +152,32 @@ class SearchAndStreamSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("http://a.test/1", "http://a.test/2", "http://a.test/3"))
   }
 
+  test("streaming: session_window closes sessions once the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // gap 5 min, zero watermark delay: sessions close as soon as a later
+    // event pushes max-event-time past session_end = last_ts + gap
+    val q = StreamOps.sessionizedCounts(
+        in.toDS().toDF("user_id", "ts"), gap = "5 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    in.addData((1L, t(0)), (1L, t(60)), (2L, t(100)))
+    q.processAllAvailable()
+    // sentinel far in the future advances the watermark past both sessions
+    in.addData((9L, t(100000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().sortBy(_._1)
+    // u1: events at 0 and 60 merge (gap < 5 min) -> [0, 60+300); u2 -> [100, 400)
+    assert(got.toSeq == Seq(
+      (1L, t(0), t(360), 2L),
+      (2L, t(100), t(400), 1L)), s"got ${got.toSeq}")
+  }
+
   test("streaming: flatMapGroupsWithState flags hosts exceeding a budget") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
