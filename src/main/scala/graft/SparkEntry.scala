@@ -72,7 +72,10 @@ object SparkEntry {
     "q67_bpe_merges"     -> ((s: SparkSession, d: String) =>
       graft.ops.TextAnalysis.bpeMerges(Tables.documents(s, d), "doc_id", "text", 20)
         .orderBy(org.apache.spark.sql.functions.col("merge_idx"))),
+    // rows-only check (data-derived merge table; see q72 scaladoc)
+    "q72_bpe_encode"     -> TextQueries.q72BpeEncode _,
     "q53_domain_mix"     -> CurationQueries.q53DomainMix _,
+    "q71_stratified_sample" -> CurationQueries.q71StratifiedSample _,
     "q58_curation_pipe"  -> CurationQueries.q58CurationPipeline _,
     "q61_decontam"       -> CurationQueries.q61Decontam _,
     "q62_pack_sequences" -> CurationQueries.q62PackSequences _,
@@ -143,6 +146,7 @@ object SparkEntry {
     "q65_phrase_match"   -> TextQueries.q65Sql,
     "q66_bpe_pairs"      -> TextQueries.q66Sql,
     "q53_domain_mix"     -> CurationQueries.q53Sql,
+    "q71_stratified_sample" -> CurationQueries.q71Sql,
     "q58_curation_pipe"  -> CurationQueries.q58Sql,
     "q61_decontam"       -> CurationQueries.q61Sql,
     "q62_pack_sequences" -> CurationQueries.q62Sql,

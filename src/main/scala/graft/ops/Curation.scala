@@ -40,6 +40,28 @@ object Curation {
     df.select(col(id), splitCol(col(id), trainPct, valPct).as("split"))
 
   /**
+   * Deterministic stratified sampling — the data-mixing half of
+   * curation: keep a row iff its salted id-hash bucket (uniform in
+   * [0, 1e6)) falls below floor(stratum_rate × 1e6). `rates` is a tiny
+   * (stratum, rate) table — e.g. mix weights normalized to the dominant
+   * source — broadcast to the corpus, so sampling is one broadcast join
+   * + filter: no corpus shuffle, and the kept set is reproducible
+   * across runs, engines, and resharding (the hashSplit guarantee).
+   * The hash is salted (`"<id>:sample"`) so sampling stays independent
+   * of hashSplit's train/val/test buckets; strata missing from `rates`
+   * drop (rate 0).
+   */
+  def stratifiedSample(df: DataFrame, id: String, stratum: String,
+                       rates: DataFrame, rateCol: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(concat(col(id).cast("string"), lit(":sample")).cast("binary")), 1, 8),
+        16, 10).cast("long") % 1000000L
+    df.join(broadcast(rates), Seq(stratum), "left")
+      .filter(bucket < floor(col(rateCol) * 1000000d))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /**
    * Benchmark decontamination (training-data hygiene): the fraction of
    * each document's DISTINCT word n-grams that appear anywhere in a
    * held-out benchmark set; `contaminated` flags fractions >=

@@ -190,19 +190,57 @@ object TextAnalysis {
       else {
         val pair = top(0).getString(0)
         merges += ((i, pair, top(0).getLong(1)))
-        val Array(a, b) = pair.split(" ", 2)
-        val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
-          java.util.regex.Pattern.quote(b) + "(?=$| )"
+        val (pat, rep) = mergePattern(pair)
         val old = vocab
-        vocab = vocab.withColumn("seq",
-            regexp_replace(col("seq"),
-              pat, java.util.regex.Matcher.quoteReplacement(a + b)))
+        vocab = vocab.withColumn("seq", regexp_replace(col("seq"), pat, rep))
           .localCheckpoint()
         old.unpersist(blocking = false)
         i += 1
       }
     }
     merges.toSeq.toDF("merge_idx", "pair", "cnt")
+  }
+
+  /** Regex + replacement applying one BPE merge ("a b" -> "ab") to a
+    * space-separated symbol sequence — shared by training and encode so
+    * the two sides replay identical semantics. */
+  private def mergePattern(pair: String): (String, String) = {
+    val Array(a, b) = pair.split(" ", 2)
+    ("(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+       java.util.regex.Pattern.quote(b) + "(?=$| )",
+     java.util.regex.Matcher.quoteReplacement(a + b))
+  }
+
+  /**
+   * BPE encode (the tokenizer APPLY side, completing train q66/q67 →
+   * encode → pack q62): segments every token into learned subword
+   * pieces by replaying `merges` in rank order over the DISTINCT-token
+   * vocabulary, then joining the piece lists back to the per-document
+   * token stream. Each per-merge pass is the same regexp replace the
+   * training loop used, so encoding the training corpus reproduces the
+   * training segmentation exactly; unseen words segment into the
+   * longest learned pieces (standard BPE open-vocabulary behavior).
+   *
+   * Scale: the merge chain is a narrow map over |distinct tokens| —
+   * Zipf-bounded, orders of magnitude below corpus rows — and the
+   * corpus-side cost is one hash join on `token` (broadcast when the
+   * vocab is small enough, shuffle-hash otherwise): the standard
+   * vocab-table trick for dictionary tokenization of a 100-TB corpus.
+   */
+  def bpeEncode(df: DataFrame, id: String, text: String,
+                merges: Seq[String]): DataFrame = {
+    val toks = df.select(col(id),
+      posexplode(tokensCol(col(text))).as(Seq("pos", "token")))
+    val vocab = toks.select(col("token")).distinct()
+      .withColumn("seq",
+        array_join(filter(split(col("token"), ""), s => length(s) > 0), " "))
+    val encoded = merges.foldLeft(vocab) { (v, pair) =>
+      val (pat, rep) = mergePattern(pair)
+      v.withColumn("seq", regexp_replace(col("seq"), pat, rep))
+    }.select(col("token"), split(col("seq"), " ").as("pieces"))
+    toks.join(encoded, "token")
+      .select(col(id), col("pos"), col("token"), col("pieces"),
+        size(col("pieces")).as("n_pieces"))
   }
 
   /**

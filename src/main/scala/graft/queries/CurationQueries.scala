@@ -21,6 +21,38 @@ object CurationQueries {
       | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** q71: deterministic stratified sampling — rates are the q53 mix
+    * weights normalized to the dominant source (keep the head source
+    * whole, downsample the rest toward the alpha-smoothed mix);
+    * membership is the salted id-hash bucket, so the kept set is
+    * bit-reproducible across engines and reshardings. */
+  def q71StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = Curation.domainMixWeights(docs, "source", "text")
+    val rates = w.crossJoin(broadcast(w.agg(max(col("mix_weight")).as("mw"))))
+      .select(col("source"), (col("mix_weight") / col("mw")).as("rate"))
+    Curation.stratifiedSample(docs, "doc_id", "source", rates, "rate")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q71Sql: String =
+    """WITH toks AS (
+      | SELECT source, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS nt
+      | FROM documents),
+      |per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS z FROM per),
+      |w AS (SELECT source, round(pow(CAST(n_tokens AS DOUBLE), 0.7) / z, 6) AS mix_weight FROM per, tot),
+      |mx AS (SELECT max(mix_weight) AS mw FROM w),
+      |r AS (SELECT source, mix_weight / mw AS rate FROM w, mx),
+      |b AS (
+      | SELECT doc_id, source,
+      |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8)) AS BIGINT) % 1000000 AS bucket
+      | FROM documents)
+      |SELECT b.doc_id, b.source FROM b JOIN r ON r.source = b.source
+      |WHERE b.bucket < floor(r.rate * 1000000)
+      |ORDER BY b.doc_id""".stripMargin
+
   /** q53: alpha-smoothed source-mixing weights (alpha = 0.7). */
   def q53DomainMix(s: SparkSession, d: String): DataFrame =
     Curation.domainMixWeights(documents(s, d), "source", "text")

@@ -80,6 +80,24 @@ object TextQueries {
       |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
       |GROUP BY pair ORDER BY pair""".stripMargin
 
+  /** q72: BPE ENCODE — replay the 20 merges trained by q67 over the
+    * corpus and report per-document subword counts (the compression the
+    * tokenizer buys). Rows-only: the merge table is data-derived by an
+    * iterative argmax loop not expressible as one static SQL (same
+    * treatment as q67); encode exactness is pinned by the Sennrich
+    * worked example in CurationSpec. */
+  def q72BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // tokenizer tables are driver/broadcast artifacts by nature: 20 rows
+    val merges = TextAnalysis.bpeMerges(docs, "doc_id", "text", 20)
+      .orderBy(col("merge_idx")).select(col("pair"))
+      .collect().map(_.getString(0)).toIndexedSeq
+    TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_pieces")).as("n_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q44: Porter-stemmed token statistics (C4 — the reference's Whoosh
     * StemmingAnalyzer, `indexer/indexer_node.py:63-67`). The Spark side
     * stems via the real PorterStemmer codegen expression; the DuckDB

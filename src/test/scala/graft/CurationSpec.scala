@@ -194,6 +194,44 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((0, "e s", 9L), (1, "es t", 9L), (2, "l o", 7L), (3, "lo w", 7L)))
   }
 
+  test("stratifiedSample: rate-1 stratum whole, missing stratum dropped, reshard-stable") {
+    val docs = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    val rates = Seq(("a", 1.0), ("b", 0.5)).toDF("source", "rate") // no "c"
+    val got = Curation.stratifiedSample(docs, "doc_id", "source", rates, "rate")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toSet
+    assert(got.count(_._2 == "a") == 100, "rate-1.0 stratum must keep every row")
+    assert(got.count(_._2 == "c") == 0, "stratum missing from rates must drop")
+    val nb = got.count(_._2 == "b")
+    assert(nb > 25 && nb < 75, s"rate-0.5 stratum kept $nb of 100")
+    // determinism across resharding: same kept set from a different layout
+    val again = Curation.stratifiedSample(docs.repartition(13), "doc_id", "source",
+        rates, "rate")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toSet
+    assert(again == got)
+  }
+
+  test("bpeEncode: Sennrich merges segment trained and unseen words exactly") {
+    // same corpus as the bpeMerges test -> merges: e s, es t, l o, lo w
+    val train = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(train, "doc_id", "text", nMerges = 4)
+      .orderBy($"merge_idx").select($"pair").as[String].collect().toIndexedSeq
+    // "lowest" is UNSEEN (not in the training vocab); "lowes" too
+    val docs = Seq((1L, "lowest newest low lowes")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .select($"pos", $"token", $"pieces")
+      .as[(Int, String, Seq[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0, "lowest", Seq("low", "est")),
+      (1, "newest", Seq("n", "e", "w", "est")),
+      (2, "low", Seq("low")),
+      (3, "lowes", Seq("low", "es"))), s"got ${got.toSeq}")
+  }
+
   test("domainMixWeights: alpha<1 up-weights small sources; weights sum to ~1") {
     val docs = (Seq.fill(90)(("big", "w " * 50)) ++ Seq.fill(10)(("small", "w " * 50)))
       .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
