@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("stem_token"),
       info("stem_token", "stem_token(token) - Porter stem"),
       (args: Seq[Expression]) => StemToken(args.head)))
+    ext.injectFunction((FunctionIdentifier("long_dot"),
+      info("long_dot", "long_dot(a, b) - integer dot product of integral arrays"),
+      (args: Seq[Expression]) => graft.functions.LongDot(args.head, args(1))))
   }
 }

@@ -61,6 +61,7 @@ object SparkEntry {
     "q25_embed_nearest"  -> DedupQueries.q25EmbedNearest _,
     "q38_simhash_pairs"  -> DedupQueries.q38SimhashPairs _,
     "q59_phash_pairs"    -> DedupQueries.q59PhashPairs _,
+    "q73_image_dup_clusters" -> DedupQueries.q73ImageDupClusters _,
     "q49_dup_clusters"   -> DedupQueries.q49DupClusters _,
     // corpus curation (training-data ops)
     "q50_hash_split"     -> CurationQueries.q50HashSplit _,
@@ -140,6 +141,7 @@ object SparkEntry {
     "q25_embed_nearest"  -> DedupQueries.q25Sql,
     "q38_simhash_pairs"  -> DedupQueries.q38Sql,
     "q59_phash_pairs"    -> DedupQueries.q59Sql,
+    "q73_image_dup_clusters" -> DedupQueries.q73Sql,
     "q49_dup_clusters"   -> DedupQueries.q49Sql,
     "q50_hash_split"     -> CurationQueries.q50Sql,
     "q51_repetition"     -> TextQueries.q51Sql,

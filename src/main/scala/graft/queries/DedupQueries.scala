@@ -186,16 +186,21 @@ object DedupQueries {
     * cross-cluster ~30. The oracle is the BRUTE-FORCE all-pairs scan,
     * so a match certifies the banded equi-join is exact (finds every
     * pair within maxDist), not merely approximate. */
-  def q59PhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** The deterministic planted-pHash table shared by q59/q73: a 60-bit
+    * cluster base from md5(doc_id % 50), one bit flipped for every
+    * third doc. */
+  private def plantedPhashes(s: SparkSession, d: String): DataFrame = {
     val base = conv(substring(md5((col("doc_id") % 50).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val flip = when(col("doc_id") % 3 === 0,
         expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"))
       .otherwise(lit(0L))
-    val sigs = documents(s, d).select(col("doc_id"), base.bitwiseXOR(flip).as("phash"))
-    Dedup.signaturePairs(sigs, "doc_id", "phash", maxDist = 2, bits = 60)
-      .orderBy(col("doc_a"), col("doc_b"))
+    documents(s, d).select(col("doc_id"), base.bitwiseXOR(flip).as("phash"))
   }
+
+  def q59PhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.signaturePairs(plantedPhashes(s, d), "doc_id", "phash", maxDist = 2, bits = 60)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   val q59Sql: String =
     """WITH sig AS (
@@ -209,6 +214,46 @@ object DedupQueries {
       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.phash, b.phash)) <= 2
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q73: the IMAGE dedup pipeline end-to-end — banded pHash pair join
+    * (q59) → connected components → min-id keeper per visual cluster:
+    * what a 100-TB image corpus runs to keep one copy of each
+    * near-identical image. The oracle rebuilds it from BRUTE-FORCE
+    * all-pairs Hamming + recursive-CTE reachability, certifying both
+    * the banded candidate join and the O(diameter) label propagation
+    * are exact. */
+  def q73ImageDupClusters(s: SparkSession, d: String): DataFrame = {
+    val sigs = plantedPhashes(s, d)
+    val pairs = Dedup.signaturePairs(sigs, "doc_id", "phash", maxDist = 2, bits = 60)
+    val cc = Dedup.connectedComponents(sigs, "doc_id", pairs, "doc_a", "doc_b")
+    val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("label")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q73Sql: String =
+    """WITH RECURSIVE sig AS (
+      | SELECT doc_id,
+      |  xor(CAST(concat('0x', substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 15)) AS BIGINT),
+      |      CASE WHEN doc_id % 3 = 0 THEN (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+      |           ELSE CAST(0 AS BIGINT) END) AS phash
+      | FROM documents),
+      |edges AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      | WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+      |sym AS (SELECT doc_a AS s, doc_b AS t FROM edges UNION ALL SELECT doc_b, doc_a FROM edges),
+      |reach(node, lab) AS (
+      | SELECT doc_id, doc_id FROM sig
+      | UNION
+      | SELECT e.t, r.lab FROM reach r JOIN sym e ON e.s = r.node),
+      |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+      |SELECT doc_id, cluster_id,
+      | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      | doc_id = cluster_id AS is_keeper
+      |FROM comp ORDER BY doc_id""".stripMargin
 
   /** q25: embedding near-dup — top-1 cosine neighbor per vector
     * (fixed-point dot product; bit-identical across engines). */

@@ -132,6 +132,9 @@ class SearchAndStreamSpec extends AnyFunSuite {
         |       is_http_url('mailto:x@y') AS m""".stripMargin)
       .as[(String, String, String, Boolean)].head()
     assert(row == (("http://a.test/y?a=1&b=2", "www.b.test", "http://a.test/d/g", false)))
+    val d = spark.sql("SELECT long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .as[Long].head()
+    assert(d == 4L + 10L + 18L)
   }
 
   test("streaming: first-seen URL dedup, watermark-bounded state") {
