@@ -219,7 +219,8 @@ object Bench {
     "q21_minhash_lsh", "q22_simhash", "q24_knn_cosine", "q31_sessionize",
     // round-2 additions: the heaviest new training-data ops, tracked so
     // a plan regression (q21-class recompute) shows up in the artifact
-    "q45_ivf_ann", "q59_phash_pairs", "q60_chunk_dedup", "q62_pack_sequences")
+    "q45_ivf_ann", "q59_phash_pairs", "q60_chunk_dedup", "q62_pack_sequences",
+    "q73_image_dup_clusters")
 
   def main(args: Array[String]): Unit = {
     // subprocess leg mode: --crawl <cores> <pages> <preSeeded>

@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[CanonicalizeUrl].getName, null, name, usage, "")
 
+  // wrong arity must fail analysis with a readable message, not an
+  // IndexOutOfBoundsException out of args(1)
+  private def binary(name: String)(f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"$name requires exactly 2 arguments, got ${args.length}")
+    f(args.head, args(1))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("canonicalize_url"),
       info("canonicalize_url", "canonicalize_url(url) - RFC 3986 canonical form"),
@@ -33,7 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => UrlHost(args.head)))
     ext.injectFunction((FunctionIdentifier("resolve_url"),
       info("resolve_url", "resolve_url(base, href) - RFC 3986 reference resolution"),
-      (args: Seq[Expression]) => ResolveUrl(args.head, args(1))))
+      binary("resolve_url")(ResolveUrl.apply)))
     ext.injectFunction((FunctionIdentifier("is_http_url"),
       info("is_http_url", "is_http_url(url) - http(s) scheme whitelist"),
       (args: Seq[Expression]) => IsHttpUrl(args.head)))
@@ -45,6 +53,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => StemToken(args.head)))
     ext.injectFunction((FunctionIdentifier("long_dot"),
       info("long_dot", "long_dot(a, b) - integer dot product of integral arrays"),
-      (args: Seq[Expression]) => graft.functions.LongDot(args.head, args(1))))
+      binary("long_dot")(graft.functions.LongDot.apply)))
   }
 }

@@ -25,9 +25,17 @@ import org.apache.spark.sql.types._
  * the fixed-point 2^20 long vectors and the int8-quantized vectors
  * ([[graft.ops.Similarity.quantizeInt8]]) share one kernel; the element
  * accessor is picked at plan time and inlined as a constant kind.
+ *
+ * Null semantics match the zip_with form: mismatched lengths or a null
+ * element yield NULL (zip_with null-pads the shorter side and the
+ * product/sum propagate the null) — a truncated or zero-filled dot
+ * would silently mis-rank instead of surfacing the bad row. The
+ * element-null scan is emitted only when a side's array type admits
+ * null elements (plan-time constant).
  */
 case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
   private def kindOf(e: Expression): Int = e.dataType match {
     case ArrayType(ByteType, _)    => 0
@@ -37,6 +45,12 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
   }
   private lazy val kindL = kindOf(left)
   private lazy val kindR = kindOf(right)
+
+  private def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => true
+  }
+  private lazy val checkElemNulls = elemsNullable(left) || elemsNullable(right)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -48,20 +62,47 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
       s"long_dot needs integral arrays, got ${left.dataType.sql} / ${right.dataType.sql}")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    LongDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], kindL, kindR)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements() ||
+        (checkElemNulls && LongDot.hasNullElem(x, y))) null
+    else java.lang.Long.valueOf(LongDot.dot(x, y, kindL, kindR))
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.LongDot.dot($a, $b, $kindL, $kindR)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullElem =
+        if (checkElemNulls) s" || graft.functions.LongDot.hasNullElem($a, $b)" else ""
+      s"""
+         |if ($a.numElements() != $b.numElements()$nullElem) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.LongDot.dot($a, $b, $kindL, $kindR);
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDot =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "long_dot"
 }
 
 object LongDot {
+  /** Equal-length precondition holds at both call sites. */
+  def hasNullElem(x: ArrayData, y: ArrayData): Boolean = {
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Static kernel shared by interpreted eval and generated code.
-    * kind: 0=byte, 1=short, 2=int, 3=long (constant per call site). */
+    * kind: 0=byte, 1=short, 2=int, 3=long (constant per call site).
+    * Callers have already verified equal lengths and no null elements. */
   def dot(x: ArrayData, y: ArrayData, kx: Int, ky: Int): Long = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0L
     var i = 0
     if (kx == 3 && ky == 3) { // fast path: the fixed-point long vectors

@@ -212,7 +212,7 @@ object Similarity {
     df.withColumn("qscale", array_max(transform(vd, v => abs(v))) / 127d)
       .withColumn("q",
         when(col("qscale") === 0d, transform(col(emb), _ => lit(0).cast("byte")))
-          .otherwise(transform(col(emb), v => round(v.cast("double") / col("qscale")).cast("byte"))))
+          .otherwise(transform(vd, v => round(v / col("qscale")).cast("byte"))))
   }
 
   /**
@@ -224,8 +224,12 @@ object Similarity {
    */
   def quantizedTopK(df: DataFrame, id: String, emb: String,
                     querySel: Column, k: Int): DataFrame = {
+    // materialize the quantized table ONCE before the self-join —
+    // without it Catalyst inlines the quantize + norm subtree into both
+    // join sides and scans the corpus twice (the q21-class recompute)
     val qz = quantizeInt8(df, emb)
       .select(col(id), col("q"), norm2Col(col("q")).as("qn2"))
+      .localCheckpoint()
     val q = qz.filter(querySel)
       .select(col(id).as("query_id"), col("q").as("qa"), col("qn2").as("na"))
     val c = qz.select(col(id).as("neighbor_id"), col("q").as("qb"), col("qn2").as("nb"))

@@ -229,8 +229,12 @@ object TextAnalysis {
    */
   def bpeEncode(df: DataFrame, id: String, text: String,
                 merges: Seq[String]): DataFrame = {
+    // materialized ONCE: the token stream feeds both the distinct-vocab
+    // side and the join-back side — uncheckpointed, Catalyst would scan
+    // and tokenize the corpus twice
     val toks = df.select(col(id),
       posexplode(tokensCol(col(text))).as(Seq("pos", "token")))
+      .localCheckpoint()
     val vocab = toks.select(col("token")).distinct()
       .withColumn("seq",
         array_join(filter(split(col("token"), ""), s => length(s) > 0), " "))

@@ -28,7 +28,10 @@ object CurationQueries {
     * bit-reproducible across engines and reshardings. */
   def q71StratifiedSample(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val w = Curation.domainMixWeights(docs, "source", "text")
+    // materialized ONCE: w is a full-corpus aggregation feeding both the
+    // crossJoin side and its own max — uncheckpointed, the corpus-wide
+    // tokenize+sum subtree runs twice
+    val w = Curation.domainMixWeights(docs, "source", "text").localCheckpoint()
     val rates = w.crossJoin(broadcast(w.agg(max(col("mix_weight")).as("mw"))))
       .select(col("source"), (col("mix_weight") / col("mw")).as("rate"))
     Curation.stratifiedSample(docs, "doc_id", "source", rates, "rate")

@@ -119,8 +119,18 @@ class CurationSpec extends AnyFunSuite {
     assert(dot("b", "b") == 1L + 4L + 9L)
     assert(dot("i", "l") == 10L + 40L + 120L)
     assert(dot("l", "l") == 100L + 400L + 900L)
-    // unequal lengths: min-length semantics (zip_with-with-trim analogue)
-    assert(dot("b", "short2") == 5L - 12L)
+    // unequal lengths: NULL, matching zip_with's null-pad semantics — a
+    // truncated dot would silently mis-rank a misconfigured dim
+    val mm = df.select(graft.functions.LongDot.column(col("b"), col("short2")).as("d"))
+      .select(col("d").isNull).as[Boolean].head()
+    assert(mm, "length mismatch must yield NULL, not a truncated dot")
+    // null elements propagate NULL (SQL registration is general-purpose)
+    val ne = spark.sql(
+      "SELECT long_dot(array(1L, CAST(NULL AS BIGINT), 3L), array(1L, 1L, 1L)) AS d")
+      .select(col("d").isNull).as[Boolean].head()
+    assert(ne, "null element must yield NULL, not treat the slot as 0")
+    // wrong arity is a readable analysis error, not an IndexOutOfBounds
+    intercept[Exception] { spark.sql("SELECT long_dot(array(1L))").head() }
     // non-integral arrays are a type-check error, not a runtime surprise
     val bad = Seq((Array(1.0, 2.0))).toDF("d")
     intercept[org.apache.spark.sql.AnalysisException] {

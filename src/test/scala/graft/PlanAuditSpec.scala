@@ -107,6 +107,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q71: stratified sample joins broadcast rates over a single corpus scan") {
+    // the weights table is materialized before the rate normalization
+    // (its corpus-wide tokenize+sum would otherwise run twice), so the
+    // executed plan scans documents exactly once — the sample pass; the
+    // per-source rates reach it through a broadcast join, never an SMJ
+    val p = plan("q71_stratified_sample")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"q71 scans documents $scans times:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), s"rates join is not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"rates join shuffles the corpus:\n${p.take(1500)}")
+  }
+
+  test("q69/q72: quantized-knn and bpe-encode join materialized tables, not the corpus") {
+    // quantizedTopK localCheckpoints the quantized (id, q, qn2) table
+    // before its self-join; bpeEncode localCheckpoints the token stream
+    // feeding both the vocab side and the join-back side — either one
+    // uncheckpointed re-scans the corpus per consumer (q21-class)
+    for (name <- Seq("q69_quantized_knn", "q72_bpe_encode")) {
+      val p = plan(name)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 0, s"$name re-scans the corpus $scans times:\n${p.take(2000)}")
+    }
+  }
+
   test("q55: robots rules broadcast; prefix predicate is pure column logic") {
     val p = plan("q55_robots_filter")
     assert(p.contains("BroadcastHashJoin"), s"robots join is not broadcast:\n$p")
