@@ -24,6 +24,13 @@ case class BenchWeb(seed: Long, nHosts: Int, nPages: Int) {
 
 class BenchFetcher(web: BenchWeb) extends Fetcher {
   private val PathRe = "/p/(\\d+)$".r
+  // truthPixels is consumed (PSNR) within the same pipeline row, so it
+  // lives in a per-thread scratch buffer: a fresh 20 KB array per page is
+  // ~2 GB of young-gen churn per 100k-page leg — allocation-rate memory
+  // traffic that throttles the high-core-count leg while single-core
+  // timings look fine. Contract documented on Fetcher.fetch.
+  @transient private lazy val truthTL: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](160 * 128))
 
   override def fetch(url: String): FetchedPage = {
     val i = PathRe.findFirstMatchIn(url).map(_.group(1).toInt).getOrElse(-1)
@@ -31,7 +38,7 @@ class BenchFetcher(web: BenchWeb) extends Fetcher {
     val r0 = SyntheticWeb.draw(web.seed, 500000L + i, 0)
     if ((r0 & 63) == 0) return FetchedPage(500, null, null, Seq.empty, null, null)
 
-    val px = SyntheticWeb.pixelsFor(web.seed, 600000L + i, 160, 128)
+    val px = SyntheticWeb.pixelsForInto(web.seed, 600000L + i, 160, 128, truthTL.get())
     val lossy = (i & 1) == 1
     val bytes = if (lossy) ImageCodec.encodeQdct(px, 160, 128) else ImageCodec.encodeRaw(px, 160, 128)
     val nWords = 5 + (SyntheticWeb.draw(web.seed, 500000L + i, 1) & 15).toInt

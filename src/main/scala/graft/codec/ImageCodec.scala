@@ -79,6 +79,11 @@ object ImageCodec {
       if (buf.length < n) buf = new Array[Byte](n)
       buf
     }
+    var px: Array[Byte] = new Array[Byte](1 << 15)
+    def pxAtLeast(n: Int): Array[Byte] = {
+      if (px.length < n) px = new Array[Byte](n)
+      px
+    }
   }
   private val scratchTL = new ThreadLocal[Scratch] {
     override def initialValue(): Scratch = new Scratch
@@ -134,15 +139,28 @@ object ImageCodec {
   /** Decode either format to (pixels, w, h). */
   def decode(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
     val w = width(bytes); val h = height(bytes)
+    decodeTo(bytes, new Array[Byte](w * h))
+  }
+
+  /** Decode into a thread-local pixel buffer. The returned array is only
+    * valid until the next `decodeTL` call on the same thread — the crawl
+    * verify stage consumes it (PSNR + phash) within the same row, so the
+    * per-row w*h pixel allocation (≈20 KB/page, i.e. ~2 GB of young-gen
+    * churn per 100k-page leg) never happens on the hot path. */
+  def decodeTL(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    val w = width(bytes); val h = height(bytes)
+    decodeTo(bytes, scratchTL.get().pxAtLeast(w * h))
+  }
+
+  private def decodeTo(bytes: Array[Byte], px: Array[Byte]): (Array[Byte], Int, Int) = {
+    val w = width(bytes); val h = height(bytes)
     format(bytes) match {
       case FmtRaw =>
-        val px = new Array[Byte](w * h)
         System.arraycopy(bytes, 10, px, 0, w * h)
         (px, w, h)
       case FmtQdct =>
         val bw = (w + 7) / 8
         val bh = (h + 7) / 8
-        val px = new Array[Byte](w * h)
         val s = scratchTL.get()
         val block = s.block
         val tmp = s.tmp
@@ -223,15 +241,21 @@ object ImageCodec {
   /** PSNR in dB between two same-size pixel arrays; infinity if equal. */
   def psnr(a: Array[Byte], b: Array[Byte]): Double = {
     require(a.length == b.length)
+    psnr(a, b, a.length)
+  }
+
+  /** PSNR over the first `n` pixels — for thread-local buffers that may
+    * be sized larger than the image they currently hold. */
+  def psnr(a: Array[Byte], b: Array[Byte], n: Int): Double = {
     var se = 0.0
     var i = 0
-    while (i < a.length) {
+    while (i < n) {
       val d = ((a(i) & 0xff) - (b(i) & 0xff)).toDouble
       se += d * d
       i += 1
     }
     if (se == 0.0) Double.PositiveInfinity
-    else 10.0 * math.log10(255.0 * 255.0 * a.length / se)
+    else 10.0 * math.log10(255.0 * 255.0 * n / se)
   }
 
   /** 64-bit perceptual hash: average-pool to 32x32, 8x8 DCT low band,

@@ -141,8 +141,14 @@ object SyntheticWeb {
   }
 
   /** Deterministic pixels: diagonal gradient + keyed noise. */
-  def pixelsFor(seed: Long, key: Long, w: Int, h: Int): Array[Byte] = {
-    val px = new Array[Byte](w * h)
+  def pixelsFor(seed: Long, key: Long, w: Int, h: Int): Array[Byte] =
+    pixelsForInto(seed, key, w, h, new Array[Byte](w * h))
+
+  /** In-place variant: fills the first w*h entries of `px` (sized by the
+    * caller, e.g. a per-thread scratch buffer on the bench fetch path —
+    * a fresh 20 KB truth-pixel array per fetched page is pure young-gen
+    * memory traffic at 100k pages/leg). Returns `px`. */
+  def pixelsForInto(seed: Long, key: Long, w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
     var y = 0
     while (y < h) {
       var x = 0

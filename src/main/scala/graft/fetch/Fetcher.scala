@@ -20,6 +20,11 @@ case class FetchedPage(
  * deterministic synthetic web.
  */
 trait Fetcher extends Serializable {
+  /** `truthPixels` in the returned page may reference a per-thread
+    * scratch buffer (sized >= w*h): it is valid only until the next
+    * `fetch` on the same thread, and callers must bound reads by the
+    * decoded image's w*h, not the array length. The payload `bytes` are
+    * always caller-owned. */
   def fetch(url: String): FetchedPage
 }
 

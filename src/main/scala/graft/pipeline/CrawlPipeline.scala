@@ -29,6 +29,9 @@ case class CrawlConfig(
     // cannot ship a single 12 GB sketch to every task
     seenBucketsThreshold: Long = 100000000L,
     seenBuckets: Int = 4096,
+    // seed lists longer than this bootstrap distributively (driver ships
+    // raw strings only); below it a one-job driver-side path is cheaper
+    initDistributedThreshold: Int = 16384,
     // compact the log tables' wave-per-delta dirs every k waves (0 = off):
     // a politeness-bound crawl accretes one small dir per table per wave,
     // and past ~10^3 waves scan planning outgrows the data (IceLite.compact)
@@ -81,17 +84,46 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     * snapshot 1 (reference: seeds enqueued in list order,
     * `archive/master_node.py:39-42`). */
   def init(seeds: Seq[String]): Long = {
-    val canon = seeds.map(UrlCanon.canonicalize).filter(UrlCanon.isHttpUrl)
-    val firstSeen = scala.collection.mutable.LinkedHashSet[String]()
-    canon.foreach(firstSeen += _)
-    val entries = firstSeen.toSeq.zipWithIndex.map { case (u, i) =>
-      FrontierEntry(u, UrlCanon.host(u), depth = 0, seq = i + 1L, parent = "", wave = 0)
+    // Two shapes, same semantics (canonicalize -> first-seen-wins in list
+    // order -> dense seq). Small lists stay driver-side (one job); large
+    // bootstraps (10^5..10^7 seeds) go distributed: the driver ships only
+    // the raw strings and every per-URL cost (canonicalize, host parse,
+    // dedup, row encode) runs executor-side — at N vs 4N cores a driver-
+    // serial init is pure Amdahl overhead charged to both legs.
+    val entriesDf: DataFrame = if (seeds.size <= conf.initDistributedThreshold) {
+      val canon = seeds.map(UrlCanon.canonicalize).filter(UrlCanon.isHttpUrl)
+      val firstSeen = scala.collection.mutable.LinkedHashSet[String]()
+      canon.foreach(firstSeen += _)
+      val entries = firstSeen.toSeq.zipWithIndex.map { case (u, i) =>
+        FrontierEntry(u, UrlCanon.host(u), depth = 0, seq = i + 1L, parent = "", wave = 0)
+      }
+      // parallelize the seed write: a driver Seq becomes a single-task
+      // local relation otherwise (a 10^7-seed bootstrap would serialize)
+      spark.createDataset(entries).repartition(conf.nPartitions).toDF()
+    } else {
+      val raw = spark.sparkContext.parallelize(seeds, conf.nPartitions)
+        .zipWithIndex() // positional: preserves seed-list order across partitions
+        .toDF("raw", "idx")
+      val firstSeen = raw
+        .select(canonicalize_url($"raw").as("url"), $"idx")
+        .filter(is_http_url($"url"))
+        .groupBy($"url").agg(min($"idx").as("idx"))
+        .orderBy($"idx")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val schema = firstSeen.schema.add("seq", LongType)
+      val df = spark.createDataFrame(
+          firstSeen.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+          schema)
+        .select($"url", url_host($"url").as("host"), lit(0).as("depth"),
+          $"seq", lit("").as("parent"), lit(0).as("wave"))
+        .as[FrontierEntry].toDF()
+      val out = df.localCheckpoint() // materialize before unpersisting the sort
+      firstSeen.unpersist(blocking = false)
+      out
     }
-    // parallelize the seed write: a driver Seq becomes a single-task
-    // local relation otherwise (a 10^7-seed bootstrap would serialize)
     val id = store.commit(
-      Seq("frontier" -> spark.createDataset(entries).repartition(conf.nPartitions).toDF()),
-      Map("wave" -> "0", "seeds" -> entries.size.toString))
+      Seq("frontier" -> entriesDf),
+      Map("wave" -> "0", "seeds" -> seeds.size.toString))
     // drop any state cached before seeding
     maxSeqCache = None; loggedCache = None; seenBloom = None
     frontierState = None; flogKeysState = None
@@ -152,7 +184,9 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       store.tableStat("fetchlog").map(_._1).getOrElse(flogKeys.count()))
     loggedCache = Some(logged)
     if (logged >= maxSeq) return 0L // every enqueued URL is finalized
-    val pend = pending()
+    // nothing finalized yet (wave 1 of a fresh crawl / a pre-seeded
+    // drain) ⇒ pending == frontier; skip the anti-join shuffle entirely
+    val pend = if (logged == 0L) frontierDf else pending()
 
     // robots broadcast join (J3) + disallow predicate (F4); permissive
     // default when no robots row (`crawler/crawler_node.py:49-52`).
@@ -163,13 +197,17 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     // prefix element.
     // Lazy checkpoint: the anti-join (frontier vs fetchlog) executes once
     // and is reused by both the fetch path and the denied-audit path.
-    val joined = pend.join(broadcast(robotsDf), Seq("host"), "left")
-      .withColumn("__path", url_path($"url"))
-      .localCheckpoint(false)
-    val disallowedCol =
-      graft.robots.RobotsTxt.disallowedCol($"__path", $"disallow_prefixes")
-    val denied = joined.filter(disallowedCol)
-    val allowed = joined.filter(!disallowedCol)
+    // With no robots rules at all, the join is the identity and `denied`
+    // empty by construction — skip the join AND the checkpoint
+    // materialization (100k+ rows through the block manager per wave).
+    val (allowed, deniedOpt) = if (robots.isEmpty) (pend, None) else {
+      val joined = pend.join(broadcast(robotsDf), Seq("host"), "left")
+        .withColumn("__path", url_path($"url"))
+        .localCheckpoint(false)
+      val disallowedCol =
+        graft.robots.RobotsTxt.disallowedCol($"__path", $"disallow_prefixes")
+      (joined.filter(!disallowedCol), Some(joined.filter(disallowedCol)))
+    }
 
     // per-host politeness budget (§2.8): selected_k <= floor(wave/delay).
     // Constant-folded away when it provably cannot bind (no robots rules
@@ -182,8 +220,9 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     val selected = if (budgetUnbounded) {
       allowed.select($"url", $"host", $"depth", $"seq")
     } else {
-      val budget = greatest(lit(1L),
-        floor(lit(conf.waveSeconds) / coalesce($"crawl_delay", lit(conf.defaultDelay))))
+      val delay = if (robots.isEmpty) lit(conf.defaultDelay)
+        else coalesce($"crawl_delay", lit(conf.defaultDelay))
+      val budget = greatest(lit(1L), floor(lit(conf.waveSeconds) / delay))
       val rankW = Window.partitionBy($"host").orderBy($"depth", $"seq")
       allowed
         .withColumn("budget", budget)
@@ -206,12 +245,23 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     // NOTE: repartition hashes the key columns — pass (host, salt-bucket)
     // raw. Pre-modding to nPartitions values and hashing those would
     // birthday-collide into ~2/3 of the partitions with 3x skew.
-    val hostCounts = selected.groupBy($"host").agg(count(lit(1)).as("__hc"))
-    val salted = selected
-      .join(broadcast(hostCounts), Seq("host"))
-      .withColumn("salt", greatest(lit(1L), floor($"__hc" / lit(conf.hostSaltTarget))))
-      .repartition(conf.nPartitions, $"host", pmod($"seq", $"salt"))
-      .select($"url", $"host", $"depth", $"seq")
+    // On a budget-unbounded drain wave no per-host grouping is needed at
+    // all (politeness cannot bind), so skip the count/join and hash the
+    // fine-grained `seq` directly: the (host, salt) key space is coarse
+    // (~nHosts + hot-host buckets), and whole key-groups colliding into
+    // the same partition leaves a ±15% row-count spread across fetch
+    // tasks — a straggler tail exactly at the highest core count. A dense
+    // unique key hashes to ±2%.
+    val salted = if (budgetUnbounded) {
+      selected.repartition(conf.nPartitions, $"seq")
+    } else {
+      val hostCounts = selected.groupBy($"host").agg(count(lit(1)).as("__hc"))
+      selected
+        .join(broadcast(hostCounts), Seq("host"))
+        .withColumn("salt", greatest(lit(1L), floor($"__hc" / lit(conf.hostSaltTarget))))
+        .repartition(conf.nPartitions, $"host", pmod($"seq", $"salt"))
+        .select($"url", $"host", $"depth", $"seq")
+    }
 
     // fetch stage (S3): per-partition fetcher, payload decode + invariant
     val fb = fetcherB
@@ -236,8 +286,11 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
           val tf = System.nanoTime()
           val pg = f.fetch(url)
           val out = if (pg.status == 200) {
-            val (px, w, h) = ImageCodec.decode(pg.bytes)
-            val ps = ImageCodec.psnr(px, pg.truthPixels)
+            // thread-local decode: px (and possibly truthPixels) live in
+            // per-thread scratch sized >= w*h; both are fully consumed
+            // here, before the next fetch on this thread
+            val (px, w, h) = ImageCodec.decodeTL(pg.bytes)
+            val ps = ImageCodec.psnr(px, pg.truthPixels, w * h)
             val ph = ImageCodec.phash64(px, w, h)
             FetchOut(url, host, depth, seq, 200, success = true, error = null,
               image_id = graft.corpus.SyntheticWeb.imageIdOf(url),
@@ -380,21 +433,24 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     // recompile every stage every wave; it travels through closures and
     // the $"wave" column of `fetched` instead.
     val wv = wave
-    val deniedLog = denied.select($"url", $"host", $"depth", $"seq").distinct()
-      .as[(String, String, Int, Long)]
-      .map { case (url, host, depth, seq) =>
-        FetchOut(url, host, depth, seq, -1, success = false,
-          error = "robots_disallowed", image_id = null, outLinks = Seq.empty,
-          psnr = 0.0, captionOk = false, wave = wv, pid = -1, executor = "scheduler",
-          bytes = null, caption = null, w = 0, h = 0, fmt = null, phash = 0L,
-          nLinks = 0, nBytes = 0L)
-      }
     // With no robots rules, `denied` is empty by construction — skip the
     // union branch entirely: even an empty distinct+encode subtree costs
     // a shuffle stage + job setup per wave.
-    val flog = if (robots.isEmpty) fetched.drop("bytes", "caption", "outLinks")
-      else fetched.drop("bytes", "caption", "outLinks")
-        .unionByName(deniedLog.toDF().drop("bytes", "caption", "outLinks"))
+    val flog = deniedOpt match {
+      case None => fetched.drop("bytes", "caption", "outLinks")
+      case Some(denied) =>
+        val deniedLog = denied.select($"url", $"host", $"depth", $"seq").distinct()
+          .as[(String, String, Int, Long)]
+          .map { case (url, host, depth, seq) =>
+            FetchOut(url, host, depth, seq, -1, success = false,
+              error = "robots_disallowed", image_id = null, outLinks = Seq.empty,
+              psnr = 0.0, captionOk = false, wave = wv, pid = -1, executor = "scheduler",
+              bytes = null, caption = null, w = 0, h = 0, fmt = null, phash = 0L,
+              nLinks = 0, nBytes = 0L)
+          }
+        fetched.drop("bytes", "caption", "outLinks")
+          .unionByName(deniedLog.toDF().drop("bytes", "caption", "outLinks"))
+    }
 
     // images Δ = the staged fetch parquet itself (S5 content sink): it
     // carries the input_hint schema columns — imageId(image_id-class

@@ -198,6 +198,26 @@ class CrawlParitySpec extends AnyFunSuite {
       s"fetchlog has $flogFiles files after $lastWave waves — compaction did not run")
   }
 
+  test("distributed init == driver init: canonicalize + first-seen order + dense seq") {
+    // messy bootstrap list: duplicates-after-canonicalization, fragments,
+    // junk schemes, whitespace — the exact driver-path semantics must
+    // survive the distributed (large-seed-list) bootstrap
+    val messy = web.seeds.flatMap(s => Seq(s, s + "#frag", s.toUpperCase.replace("HTTP", "http"))) ++
+      Seq("ftp://nope.example.test/x", "   ", "http://h0.example.test/p/0")
+    def initAs(c: CrawlConfig): Vector[(String, Long)] = {
+      val root = Files.createTempDirectory("crawlI").toString
+      val p = newPipeline(root, c)
+      p.init(messy)
+      new IceLite(root).read(spark, "frontier")
+        .orderBy($"seq").select($"url", $"seq").as[(String, Long)].collect().toVector
+    }
+    val driverSide = initAs(conf) // messy.size < default threshold
+    val distributed = initAs(conf.copy(initDistributedThreshold = 0))
+    assert(driverSide.nonEmpty && driverSide.map(_._2) == (1L to driverSide.size).toVector)
+    assert(distributed == driverSide,
+      s"first diff: ${distributed.zip(driverSide).find(t => t._1 != t._2)}")
+  }
+
   test("v1 FIFO/BFS parity: with unconstrained politeness, seq order == FIFO order") {
     val root = Files.createTempDirectory("crawlF").toString
     val fast = CrawlConfig(waveSeconds = 1e9, nPartitions = 8,
