@@ -33,8 +33,42 @@ import graft.pipeline.{CrawlConfig, CrawlPipeline}
 object Bench {
 
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    // SPARK_GRAFT_MASTER overrides the master URL ({cores} substituted).
+    // `local-cluster[{cores},1,<mb>]` runs one 1-core executor JVM per
+    // "node" — the sandbox's closest rendition of the north rule's
+    // "N vs 4N executors" (what spark-submit to a real cluster gives).
+    // It is supplementary evidence, not the default: its loopback-netty
+    // shuffle + per-executor JIT cost ~15% absolute wall vs local[k],
+    // but it removes single-JVM measurement skew (4 task threads sharing
+    // one young gen inflate the per-row kernel ~24% vs ~16% for 4
+    // separate 1-thread JVMs on 4 busy cores — graft.bench.KernelScale),
+    // contention a real multi-executor cluster does not have.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "") match {
+      case "local" => s"local[$cores]"
+      case ""      => s"local[$cores]"
+      case tpl     => tpl.replace("{cores}", cores.toString)
+    }
+    val b = SparkSession.builder()
+      .master(master)
+    if (master.startsWith("local-cluster")) {
+      // forked executor JVMs start from the bare Spark-dist classpath:
+      // hand them the app classes and the JDK-17 module opens the driver
+      // JVM runs with (build.sbt javaOptions)
+      // absolutize: executors run from their own scratch dir, so any
+      // relative entry on the driver's classpath would silently vanish
+      val absCp = System.getProperty("java.class.path")
+        .split(java.io.File.pathSeparator)
+        .map(p => new java.io.File(p).getAbsolutePath)
+        .mkString(java.io.File.pathSeparator)
+      b.config("spark.executor.extraClassPath", absCp)
+      val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.toArray.map(_.toString)
+        .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("--enable-native-access"))
+        .mkString(" ")
+      if (opens.nonEmpty) b.config("spark.executor.extraJavaOptions", opens)
+    }
+    val s = b
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
