@@ -91,6 +91,8 @@ object SparkEntry {
     "q69_quantized_knn"  -> SimQueries.q69QuantizedKnn _,
     // rows-only check (no SQL oracle — real in-repo image codec; see q47 scaladoc)
     "q47_image_features" -> SimQueries.q47ImageFeatures _,
+    // link-graph analytics
+    "q74_pagerank"       -> GraphQueries.q74PageRank _,
     // snapshot-metadata statistics (A3/A7) + storage layout
     "q40_storage_stats"  -> StorageQueries.q40StorageStats _,
     "q54_bucketed_join"  -> StorageQueries.q54BucketedJoin _,
@@ -160,6 +162,7 @@ object SparkEntry {
     "q45_ivf_ann"        -> SimQueries.q45Sql,
     "q68_quantize_int8"  -> SimQueries.q68Sql,
     "q69_quantized_knn"  -> SimQueries.q69Sql,
+    "q74_pagerank"       -> GraphQueries.q74Sql,
     "q40_storage_stats"  -> StorageQueries.q40Sql,
     "q54_bucketed_join"  -> StorageQueries.q54Sql,
   )

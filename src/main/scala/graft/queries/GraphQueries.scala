@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+import Tables._
+
+/** Link-graph coverage: PageRank over a deterministic synthetic link
+  * graph derived from `documents` (doc d links to 1 + d%3 targets drawn
+  * by an LCG-style integer hash, self-loops displaced to the next id) —
+  * the authority score a production frontier prioritizes by. */
+object GraphQueries {
+
+  /** q74: 5 damped rounds, integer fixed-point (see ops/Graph). */
+  def q74PageRank(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val n = docs.count()
+    val edges = docs.select(col("doc_id"))
+      .withColumn("c", explode(sequence(lit(0L), col("doc_id") % 3L)))
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") * 48271L + (col("c") + 1L) * 1013904223L) % n).as("t0"))
+      .select(col("src"),
+        when(col("t0") === col("src"), (col("t0") + 1L) % n)
+          .otherwise(col("t0")).as("dst"))
+    Graph.pageRank(docs.select("doc_id"), edges, "doc_id")
+      .select(col("node_id").as("doc_id"), col("rank").as("pagerank"))
+      .orderBy("doc_id")
+  }
+
+  val q74Sql: String = {
+    val S = "1000000000000"
+    val head =
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |edges AS (
+         | SELECT src, CASE WHEN t0 = src THEN (t0 + 1) % (SELECT n FROM nn) ELSE t0 END AS dst
+         | FROM (
+         |  SELECT d.doc_id AS src,
+         |   ((d.doc_id * 48271 + (t.c + 1) * 1013904223) % (SELECT n FROM nn)) AS t0
+         |  FROM documents d, range(3) t(c)
+         |  WHERE t.c < 1 + d.doc_id % 3)),
+         |od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT doc_id, ($S // (SELECT n FROM nn)) AS rank FROM documents)""".stripMargin
+    val rounds = (1 to 5).map { k =>
+      s""",
+         |r$k AS (
+         | SELECT d.doc_id,
+         |  (15 * ($S // (SELECT n FROM nn))) // 100
+         |  + (85 * COALESCE(s.m, 0)) // 100 AS rank
+         | FROM documents d LEFT JOIN (
+         |  SELECT e.dst AS doc_id, sum(r.rank // o.deg) AS m
+         |  FROM edges e JOIN r${k - 1} r ON r.doc_id = e.src JOIN od o ON o.src = e.src
+         |  GROUP BY e.dst) s ON s.doc_id = d.doc_id)""".stripMargin
+    }.mkString
+    head + rounds + "\nSELECT doc_id, rank AS pagerank FROM r5 ORDER BY doc_id"
+  }
+}
