@@ -40,18 +40,22 @@ object Graph {
   def pageRank(nodes: DataFrame, edges: DataFrame, idCol: String = "id",
                iters: Int = 5, scale: Long = 1000000000000L,
                checkpointEvery: Int = 2): DataFrame = {
-    val n = nodes.count()
+    // node ids materialized ONCE: the per-round left join re-reads them,
+    // and an unmaterialized projection would re-scan the node table every
+    // round (5 scans of a 10^10-row table for a 5-round rank)
+    val nodeIds = nodes.select(col(idCol).as("node_id")).localCheckpoint()
+    val n = nodeIds.count()
     val base = scale / n
     val teleport = 15L * base / 100L
     val e = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint()
-    var ranks = nodes.select(col(idCol).as("node_id"), lit(base).as("rank"))
+    var ranks = nodeIds.select(col("node_id"), lit(base).as("rank"))
     for (k <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("node_id"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      ranks = nodes.select(col(idCol).as("node_id"))
+      ranks = nodeIds
         .join(contrib, col("node_id") === col("dst"), "left")
         .select(col("node_id"),
           (lit(teleport) + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("rank"))

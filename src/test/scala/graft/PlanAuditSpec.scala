@@ -131,6 +131,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q74: pagerank rounds join materialized tables, not the node/edge derivations") {
+    // pageRank localCheckpoints the node-id projection and the edge+degree
+    // table once, and truncates rank lineage every 2 rounds — the final
+    // round's plan must read only materialized RDDs, never re-scan the
+    // documents parquet (an unmaterialized node projection re-scans the
+    // node table once per round; q21-class)
+    val p = plan("q74_pagerank")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q74 re-scans the corpus $scans times:\n${p.take(2000)}")
+  }
+
   test("q55: robots rules broadcast; prefix predicate is pure column logic") {
     val p = plan("q55_robots_filter")
     assert(p.contains("BroadcastHashJoin"), s"robots join is not broadcast:\n$p")
