@@ -248,6 +248,26 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** (median efficiency, count) over the persisted same-window leg pairs
+    * for `pages`, keeping only pairs whose warmups sit within the
+    * clean-leg threshold (1.25×) of the current warmup floors `wbN`/
+    * `wb4`. File lines: pages\tsN\twN\ts4N\tw4N. Returns (-1, 0) when no
+    * clean pair exists or the file is unreadable. */
+  private[graft] def pairStats(file: java.nio.file.Path, pages: Long,
+                               wbN: Double, wb4: Double): (Double, Int) = try {
+    val all = if (java.nio.file.Files.exists(file))
+      new String(java.nio.file.Files.readAllBytes(file), "UTF-8")
+        .linesIterator.map(_.split("\t"))
+        .filter(a => a.length == 5 && a(0).toLong == pages)
+        .map(a => (a(1).toDouble, a(2).toDouble, a(3).toDouble, a(4).toDouble))
+        .toSeq
+    else Seq.empty
+    val clean = all.filter { case (_, wN, _, w4) =>
+      wbN > 0 && wb4 > 0 && wN <= 1.25 * wbN && w4 <= 1.25 * wb4 }
+    val effs = clean.map { case (sN, _, s4c, _) => (sN / s4c) / 4.0 }.sorted
+    if (effs.isEmpty) (-1.0, 0) else (effs(effs.size / 2), effs.size)
+  } catch { case _: Exception => (-1.0, 0) }
+
   private val headline = Seq(
     "q01_agg", "q02_join_broadcast", "q05_first_seen", "q13_token_freq",
     "q21_minhash_lsh", "q22_simhash", "q24_knn_cosine", "q31_sessionize",
@@ -368,9 +388,11 @@ object Bench {
     // 13 s quiet warmups). Dirty legs still feed the recorded mins
     // (noise only adds time); they just trigger a retry while the pass/
     // wall budget lasts.
-    def runLeg(cores: Int): Unit = {
+    def runLeg(cores: Int): (Double, Double) = {
       var attempts = 0
       var clean = false
+      var passBestS = Double.MaxValue
+      var passBestW = Double.MaxValue
       while (!clean && attempts < 3 && elapsedMin < 18) {
         waitQuiet()
         val (f, s, w) = crawlRun(cores, crawlPages, preSeeded = true)
@@ -378,19 +400,39 @@ object Bench {
         val sb = improve(s"l$cores:$crawlPages", s)
         if (cores == nCores) { legsN += s; if (s < s1) { f1 = f; s1 = s } }
         else { legs4N += s; if (s < s4) { f4 = f; s4 = s } }
+        if (s < passBestS) { passBestS = s; passBestW = w }
         clean = w <= 1.25 * wb && s <= 1.30 * sb
         attempts += 1
         System.err.println(f"[bench] leg cores=$cores secs=$s%.1f (best $sb%.1f) warm=$w%.1f (best $wb%.1f) clean=$clean")
         if (!clean && attempts < 3) Thread.sleep(10000)
       }
+      (passBestS, passBestW)
     }
+    // Same-window PAIRS: adjacent N/4N legs ran in the same noise window,
+    // so their ratio is robust to symmetric inflation — unlike per-side
+    // minima across invocations, which are biased whenever one side
+    // caught a quieter window than the other ever saw. Every pass's
+    // (bestN, best4N) pair is persisted; at report time the pairs whose
+    // warmups sit within the clean threshold of the CURRENT warmup
+    // floors count as clean, and their median efficiency is reported
+    // alongside the per-side-minima numbers.
+    val pairsFile = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bench_pairs.tsv")
+    def recordPair(sN: Double, wN: Double, s4: Double, w4: Double): Unit =
+      try java.nio.file.Files.write(pairsFile,
+        f"$crawlPages\t$sN%.3f\t$wN%.3f\t$s4%.3f\t$w4%.3f\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Exception => () }
     // Alternate N/4N passes, min per side, until the target ratio is
     // met or the pass/wall budget runs out (the budget bounds driver-
     // side bench time on a hopelessly noisy host).
     var pass = 0
     while ((pass < 2 || eff < 0.80) && pass < 5 && elapsedMin < 18) {
-      runLeg(nCores)
-      runLeg(n4Cores)
+      val (psN, pwN) = runLeg(nCores)
+      val (ps4, pw4) = runLeg(n4Cores)
+      if (psN < Double.MaxValue && ps4 < Double.MaxValue)
+        recordPair(psN, pwN, ps4, pw4)
       pass += 1
     }
     val rateN = f1 / s1
@@ -405,6 +447,10 @@ object Bench {
     val sNBest = math.min(s1, bests.getOrElse(s"l$nCores:$crawlPages", s1))
     val s4NBest = math.min(s4, bests.getOrElse(s"l$n4Cores:$crawlPages", s4))
     val effBest = ((crawlPages / s4NBest) / (crawlPages / sNBest)) / 4.0
+    // median efficiency over persisted same-window pairs whose warmups
+    // land within the clean threshold of the current warmup floors
+    val (pairMedian, nCleanPairs) =
+      pairStats(pairsFile, crawlPages, warmBest(nCores), warmBest(n4Cores))
     def legsJson(xs: Seq[Double]): String = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
 
     // 3) end-to-end BFS expansion loop at 4N (seed -> discover -> drain)
@@ -413,6 +459,6 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,"secs_n_best":$sNBest%.1f,"secs_4n_best":$s4NBest%.1f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"host_bw_min":$minBw%.3f,"host_bw_max":$maxBw%.3f,"warmup_best_n":${warmBest(nCores)}%.2f,"warmup_best_4n":${warmBest(n4Cores)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_pair_median":$pairMedian%.3f,"n_clean_pairs":$nCleanPairs,"secs_n_best":$sNBest%.1f,"secs_4n_best":$s4NBest%.1f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"host_bw_min":$minBw%.3f,"host_bw_max":$maxBw%.3f,"warmup_best_n":${warmBest(nCores)}%.2f,"warmup_best_4n":${warmBest(n4Cores)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
   }
 }

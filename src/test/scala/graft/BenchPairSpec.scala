@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench.pairStats — the same-window paired-efficiency estimator read
+  * by the bench artifact (no Spark involved). */
+class BenchPairSpec extends AnyFunSuite {
+
+  private def withFile(lines: Seq[String])(f: java.nio.file.Path => Unit): Unit = {
+    val p = java.nio.file.Files.createTempFile("pairs", ".tsv")
+    try {
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      f(p)
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
+  test("median over clean pairs; dirty warmups and other page counts excluded") {
+    val lines = Seq(
+      "100000\t80.000\t21.0\t25.000\t11.0",  // clean: eff 0.80
+      "100000\t90.000\t20.5\t30.000\t10.8",  // clean: eff 0.75
+      "100000\t70.000\t21.0\t20.000\t10.7",  // clean: eff 0.875
+      "100000\t100.000\t29.0\t35.000\t15.0", // dirty both warmups
+      "2000\t8.000\t21.0\t4.000\t10.7")      // other page count
+    withFile(lines) { p =>
+      val (med, n) = Bench.pairStats(p, 100000L, wbN = 20.0, wb4 = 10.0)
+      assert(n == 3)
+      assert(math.abs(med - 0.80) < 1e-9) // sorted effs: .75 .80 .875
+    }
+  }
+
+  test("one dirty side disqualifies the pair") {
+    val lines = Seq("100000\t80.000\t21.0\t25.000\t14.0") // 4N warmup 40% over
+    withFile(lines) { p =>
+      assert(Bench.pairStats(p, 100000L, 20.0, 10.0) == (-1.0, 0))
+    }
+  }
+
+  test("missing file, malformed lines, unset floors -> (-1, 0)") {
+    assert(Bench.pairStats(
+      java.nio.file.Paths.get("/tmp/definitely-missing-pairs.tsv"),
+      100000L, 20.0, 10.0) == (-1.0, 0))
+    withFile(Seq("garbage", "100000\tx\ty\tz\tw")) { p =>
+      assert(Bench.pairStats(p, 100000L, 20.0, 10.0) == (-1.0, 0))
+    }
+    withFile(Seq("100000\t80.000\t21.0\t25.000\t11.0")) { p =>
+      assert(Bench.pairStats(p, 100000L, -1.0, 10.0) == (-1.0, 0))
+    }
+  }
+}
