@@ -53,6 +53,7 @@ object SparkEntry {
     "q46_bm25f_search"   -> TextQueries.q46Bm25fSearch _,
     "q57_pii_scrub"      -> TextQueries.q57PiiScrub _,
     "q60_chunk_dedup"    -> TextQueries.q60ChunkDedup _,
+    "q75_lm_perplexity"  -> TextQueries.q75LmPerplexity _,
     // dedup (training-data ops)
     "q20_dedup_exact"    -> DedupQueries.q20DedupExact _,
     "q21_minhash_lsh"    -> DedupQueries.q21MinhashLsh _,
@@ -136,6 +137,7 @@ object SparkEntry {
     "q46_bm25f_search"   -> TextQueries.q46Sql,
     "q57_pii_scrub"      -> TextQueries.q57Sql,
     "q60_chunk_dedup"    -> TextQueries.q60Sql,
+    "q75_lm_perplexity"  -> TextQueries.q75Sql,
     "q20_dedup_exact"    -> DedupQueries.q20Sql,
     "q21_minhash_lsh"    -> DedupQueries.q21Sql,
     "q22_simhash"        -> DedupQueries.q22Sql,

@@ -340,4 +340,38 @@ object TextQueries {
       |   regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
       |   '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
       |FROM raw ORDER BY doc_id""".stripMargin
+
+  /** q75: CCNet-style LM-perplexity quality filter — character-trigram
+    * model trained on the corpus in one pass (vocabulary-bounded, so it
+    * broadcasts at any corpus size), every document scored by average
+    * negative log-likelihood with add-one smoothing. The 1.02 threshold
+    * is demonstrative (splits this synthetic corpus roughly in half —
+    * its nll range is 0.91-1.13); production passes a held-out model
+    * and threshold to `LangModel.lmScore`. */
+  def q75LmPerplexity(s: SparkSession, d: String): DataFrame =
+    graft.ops.LangModel.selfPerplexity(documents(s, d), "doc_id", "text",
+        threshold = 1.02)
+      .orderBy(col("doc_id"))
+
+  val q75Sql: String =
+    """WITH norm AS (
+      | SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+      | FROM documents),
+      |tris AS (
+      | SELECT doc_id, unnest(list_transform(range(greatest(len(s) - 2, 0)), i -> substr(s, i + 1, 3))) AS tri
+      | FROM norm),
+      |m_tri AS (SELECT tri, count(*) AS c3 FROM tris GROUP BY tri),
+      |m_bi AS (SELECT substr(tri, 1, 2) AS bi, CAST(sum(c3) AS BIGINT) AS c2 FROM m_tri GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM m_tri),
+      |scored AS (
+      | SELECT t.doc_id, count(*) AS n_tris,
+      |  avg(-ln((m.c3 + 1.0) / (b.c2 + (SELECT v FROM v)))) AS nll_raw
+      | FROM tris t JOIN m_tri m ON m.tri = t.tri
+      | JOIN m_bi b ON b.bi = substr(t.tri, 1, 2)
+      | GROUP BY t.doc_id)
+      |SELECT d.doc_id, COALESCE(s.n_tris, 0) AS n_tris,
+      | round(s.nll_raw, 6) AS nll,
+      | round(s.nll_raw, 6) <= 1.02 AS quality_ok
+      |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }
