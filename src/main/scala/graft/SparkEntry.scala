@@ -54,6 +54,7 @@ object SparkEntry {
     "q57_pii_scrub"      -> TextQueries.q57PiiScrub _,
     "q60_chunk_dedup"    -> TextQueries.q60ChunkDedup _,
     "q75_lm_perplexity"  -> TextQueries.q75LmPerplexity _,
+    "q76_dsir_resample"  -> TextQueries.q76DsirResample _,
     // dedup (training-data ops)
     "q20_dedup_exact"    -> DedupQueries.q20DedupExact _,
     "q21_minhash_lsh"    -> DedupQueries.q21MinhashLsh _,
@@ -138,6 +139,7 @@ object SparkEntry {
     "q57_pii_scrub"      -> TextQueries.q57Sql,
     "q60_chunk_dedup"    -> TextQueries.q60Sql,
     "q75_lm_perplexity"  -> TextQueries.q75Sql,
+    "q76_dsir_resample"  -> TextQueries.q76Sql,
     "q20_dedup_exact"    -> DedupQueries.q20Sql,
     "q21_minhash_lsh"    -> DedupQueries.q21Sql,
     "q22_simhash"        -> DedupQueries.q22Sql,

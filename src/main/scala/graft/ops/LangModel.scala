@@ -77,4 +77,76 @@ object LangModel {
   def selfPerplexity(df: DataFrame, id: String, text: String,
                      threshold: Double): DataFrame =
     lmScore(df, id, text, trigramModel(df, id, text), threshold)
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): estimate the log
+    * importance ratio of each document between a TARGET distribution
+    * (the `isTarget` subset, e.g. a trusted/high-quality slice) and the
+    * SOURCE (the whole corpus) under smoothed character-trigram models,
+    * then keep each document with probability min(1, w) — documents the
+    * target model likes survive; off-target documents are downsampled
+    * proportionally to their likelihood ratio.
+    *
+    * Scale shape: model training is TWO vocabulary-bounded passes (full
+    * corpus + target subset; each ≤ 37³ rows out), merged into ONE
+    * broadcast model table, so scoring is a single corpus pass — explode
+    * + broadcast hash join + per-doc aggregate, no corpus shuffle. The
+    * accept decision is a salted md5 hash of the id (the q50/q71
+    * convention): deterministic across runs, engines, and resharding —
+    * a resampling decision that changes under repartition would make
+    * the kept set irreproducible.
+    *
+    * Float determinism: per-doc average NLLs are rounded to 6 decimals
+    * (libm-path convention — proven hash-exact vs DuckDB in q75); the
+    * log-ratio is their difference scaled by the integer trigram count,
+    * and the acceptance probability is rounded again before the integer
+    * bucket compare, so a sub-ulp libm divergence cannot flip `kept`
+    * except exactly at a rounding boundary. */
+  def importanceResample(df: DataFrame, id: String, text: String,
+                         isTarget: Column): DataFrame = {
+    val src = trigramModel(df, id, text).localCheckpoint()
+    val tgt = trigramModel(df.filter(isTarget), id, text).localCheckpoint()
+    val vS = src.count().toDouble
+    val vT = tgt.count().toDouble
+    // every corpus trigram is in the source model by construction;
+    // target-model misses fall back to the q75 unseen convention
+    // (c3=0, c2=0 -> p = 1/V)
+    val model = src.select(col("tri"), col("c3").as("c3s"), col("c2").as("c2s"))
+      .join(tgt.select(col("tri"), col("c3").as("c3t"), col("c2").as("c2t")),
+        Seq("tri"), "left")
+    // one scoring pass; the per-doc result (4 numeric cols) is
+    // materialized because the normalizer below aggregates over it —
+    // an unmaterialized plan would re-run the explode+join per subtree
+    val scored = charTrigrams(df, id, text)
+      .join(broadcast(model), Seq("tri"), "left")
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_tris"),
+        avg(-log((coalesce(col("c3s"), lit(0L)) + 1.0) /
+          (coalesce(col("c2s"), lit(0L)) + vS))).as("__ns"),
+        avg(-log((coalesce(col("c3t"), lit(0L)) + 1.0) /
+          (coalesce(col("c2t"), lit(0L)) + vT))).as("__nt"))
+      .select(col(id), col("n_tris"),
+        round((round(col("__ns"), 6) - round(col("__nt"), 6)) *
+          col("n_tris"), 6).as("log_w"))
+      .localCheckpoint()
+    // Importance weights are defined up to the normalizing constant Z
+    // (DSIR §3: w is estimated per-example, then normalized corpus-wide);
+    // with add-one smoothing and a target model a fraction of the source
+    // size, raw log-ratios carry a uniform negative bias, so center on
+    // the corpus mean: a document is kept with certainty when its ratio
+    // beats the average, else with probability exp(log_w - mu). The mean
+    // is a 1-row aggregate cross-joined back (broadcast — no window-
+    // over-everything single partition).
+    val mu = scored.agg(avg(col("log_w")).as("__mu"))
+    val pAccept = round(least(lit(1.0),
+      exp(round(col("log_w") - col("__mu"), 6))), 6)
+    val bucket = conv(substring(md5(concat(col(id).cast("string"),
+      lit(":dsir")).cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L
+    df.select(col(id))
+      .join(scored.crossJoin(broadcast(mu)), Seq(id), "left")
+      .select(col(id), coalesce(col("n_tris"), lit(0L)).as("n_tris"),
+        col("log_w"), pAccept.as("p_accept"))
+      .withColumn("kept", coalesce(bucket < floor(col("p_accept") * 1000000d),
+        lit(false)))
+  }
 }

@@ -374,4 +374,53 @@ object TextQueries {
       | round(s.nll_raw, 6) <= 1.02 AS quality_ok
       |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q76: DSIR-style importance resampling — target = the `lang = 'en'`
+    * slice (a stand-in for any trusted/high-quality subset), source =
+    * the whole corpus; keep each document with probability
+    * min(1, exp(log_w - mean(log_w))) decided by its salted id-hash
+    * bucket (deterministic across runs/engines/resharding). */
+  def q76DsirResample(s: SparkSession, d: String): DataFrame =
+    graft.ops.LangModel.importanceResample(documents(s, d), "doc_id", "text",
+        isTarget = col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  val q76Sql: String =
+    """WITH norm AS (
+      | SELECT doc_id, lang, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+      | FROM documents),
+      |tris AS (
+      | SELECT doc_id, unnest(list_transform(range(greatest(len(s) - 2, 0)), i -> substr(s, i + 1, 3))) AS tri
+      | FROM norm),
+      |ttris AS (
+      | SELECT doc_id, unnest(list_transform(range(greatest(len(s) - 2, 0)), i -> substr(s, i + 1, 3))) AS tri
+      | FROM norm WHERE lang = 'en'),
+      |m_src AS (SELECT tri, count(*) AS c3s FROM tris GROUP BY tri),
+      |m_srcb AS (SELECT substr(tri,1,2) AS bi, CAST(sum(c3s) AS BIGINT) AS c2s FROM m_src GROUP BY 1),
+      |m_tgt AS (SELECT tri, count(*) AS c3t FROM ttris GROUP BY tri),
+      |m_tgtb AS (SELECT substr(tri,1,2) AS bi, CAST(sum(c3t) AS BIGINT) AS c2t FROM m_tgt GROUP BY 1),
+      |vs AS (SELECT count(*) AS v FROM m_src),
+      |vt AS (SELECT count(*) AS v FROM m_tgt),
+      |model AS (
+      | SELECT s.tri, s.c3s, sb.c2s, t.c3t,
+      |  CASE WHEN t.tri IS NULL THEN NULL ELSE tb.c2t END AS c2t
+      | FROM m_src s JOIN m_srcb sb ON sb.bi = substr(s.tri,1,2)
+      | LEFT JOIN m_tgt t ON t.tri = s.tri
+      | LEFT JOIN m_tgtb tb ON tb.bi = substr(s.tri,1,2)),
+      |scored AS (
+      | SELECT t.doc_id, count(*) AS n_tris,
+      |  round((round(avg(-ln((m.c3s + 1.0) / (m.c2s + (SELECT v FROM vs)))), 6)
+      |       - round(avg(-ln((COALESCE(m.c3t, 0) + 1.0) / (COALESCE(m.c2t, 0) + (SELECT v FROM vt)))), 6))
+      |       * count(*), 6) AS log_w
+      | FROM tris t JOIN model m ON m.tri = t.tri
+      | GROUP BY t.doc_id),
+      |cent AS (
+      | SELECT doc_id, n_tris, log_w,
+      |  round(least(1.0, exp(round(log_w - avg(log_w) OVER (), 6))), 6) AS p_accept
+      | FROM scored)
+      |SELECT d.doc_id, COALESCE(c.n_tris, 0) AS n_tris, c.log_w, c.p_accept,
+      | COALESCE(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':dsir'), 1, 8)) AS BIGINT) % 1000000
+      |   < floor(c.p_accept * 1000000), false) AS kept
+      |FROM documents d LEFT JOIN cent c ON c.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }
