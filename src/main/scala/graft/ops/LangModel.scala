@@ -138,8 +138,12 @@ object LangModel {
     // is a 1-row aggregate cross-joined back (broadcast — no window-
     // over-everything single partition).
     val mu = scored.agg(avg(col("log_w")).as("__mu"))
-    val pAccept = round(least(lit(1.0),
-      exp(round(col("log_w") - col("__mu"), 6))), 6)
+    // guard the null path explicitly: `least` SKIPS nulls, so an
+    // unscorable document (no trigrams -> null log_w after the join
+    // back) would otherwise get least(1.0, null) = 1.0 and be kept
+    // with certainty
+    val pAccept = when(col("log_w").isNotNull, round(least(lit(1.0),
+      exp(round(col("log_w") - col("__mu"), 6))), 6))
     val bucket = conv(substring(md5(concat(col(id).cast("string"),
       lit(":dsir")).cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L
     df.select(col(id))
