@@ -73,6 +73,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q63 pair join is not an equi-join:\n${p.take(2000)}")
   }
 
+  test("q75: LM scoring is one corpus pass with a broadcast model join") {
+    // trigramModel materializes the (vocab-bounded) model, so the
+    // executed plan holds exactly the scoring pass + the join-back to
+    // all docs: two corpus scans, model joined by broadcast hash — a
+    // shuffled model join would shuffle the exploded trigram stream
+    // (~1000x the doc count) at 100-TB scale
+    val p = plan("q75_lm_perplexity")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"q75 scans documents $scans times:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n${p.take(2000)}")
+  }
+
+  test("q76: DSIR plan joins materialized scores; the mean is a 1-row broadcast") {
+    // model training and the scoring pass are checkpoint-materialized,
+    // so the final plan scans the corpus once (the join-back) and joins
+    // the 1-row normalizer via broadcast — never a full cartesian
+    val p = plan("q76_dsir_resample")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"q76 re-scans documents $scans times:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"mean join degraded:\n${p.take(2000)}")
+  }
+
   test("q60: chunk-dedup consumers read the materialized chunk table, not the corpus") {
     // chunkDedup localCheckpoints the exploded chunk table before the
     // df aggregate and the reassembly join — an inlined plan re-scans
