@@ -37,6 +37,11 @@ object Bench {
     // `local-cluster[{cores},1,<mb>]` runs one 1-core executor JVM per
     // "node" — the sandbox's closest rendition of the north rule's
     // "N vs 4N executors" (what spark-submit to a real cluster gives).
+    // Cluster mode needs SPARK_HOME=/opt/spark AND SPARK_SCALA_VERSION=
+    // 2.13 in the environment: the in-process Worker builds each
+    // executor's launch command through the dist's command builder,
+    // which otherwise dies with "Cannot find any build directories"
+    // (normally exported by the dist's load-spark-env.sh).
     // It is supplementary evidence, not the default: its loopback-netty
     // shuffle + per-executor JIT cost ~15% absolute wall vs local[k],
     // but it removes single-JVM measurement skew (4 task threads sharing
@@ -140,7 +145,13 @@ object Bench {
     val spark = session(cores)
     try {
       val w0 = System.nanoTime()
-      crawlOnce(spark, cores, 2000, preSeeded)
+      // warmup size is part of the floor protocol (w$cores values only
+      // compare across runs at the same size) — override for one-off
+      // experiments only (e.g. multi-executor legs JIT each executor
+      // JVM separately and need more rows per executor to reach C2)
+      crawlOnce(spark, cores,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_PAGES", "2000").toInt,
+        preSeeded)
       val warm = (System.nanoTime() - w0) / 1e9
       val (f, s) = crawlOnce(spark, cores, nPages, preSeeded)
       (f, s, warm)
