@@ -95,15 +95,31 @@ object Bench {
     * sandbox, deflating the measured CPU-scaling ratio. RAM staging
     * removes that artifact; the payload write itself (columnar encode +
     * file commit) is still fully executed and timed. */
-  private[graft] lazy val shmStaging: Boolean = {
-    val shm = new java.io.File("/dev/shm")
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_SHM", "1") == "1" &&
-      shm.isDirectory && shm.canWrite && shm.getUsableSpace > 32L * (1L << 30)
+  private[graft] lazy val shmStaging: Boolean =
+    // a leg subprocess must stage wherever its PARENT decided: free-space
+    // can change mid-run, and a leg that silently fell back to disk would
+    // feed disk-protocol times into the _shm-versioned floor caches
+    sys.env.get("SPARK_GRAFT_BENCH_SHM_RESOLVED") match {
+      case Some(v) => v == "1"
+      case None =>
+        val shm = new java.io.File("/dev/shm")
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SHM", "1") == "1" &&
+          shm.isDirectory && shm.canWrite && shm.getUsableSpace > 32L * (1L << 30)
+    }
+  // Floors/pairs only compare within one measurement protocol: staging
+  // medium, warmup size (w$cores floors are warmup times), and master
+  // topology (local-cluster legs cost ~15% more wall than local[k]). An
+  // off-protocol experiment must never poison the default caches — every
+  // deviation gets its own cache file.
+  private def protocolTag: String = {
+    val wp = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_PAGES", "2000")
+    val m = sys.env.getOrElse("SPARK_GRAFT_MASTER", "")
+    (if (shmStaging) "_shm" else "") +
+      (if (wp != "2000") s"_w$wp" else "") +
+      (if (m.nonEmpty && m != "local")
+        "_m" + m.replaceAll("[^A-Za-z0-9]", "").take(16) else "")
   }
-  // floors/pairs measured under disk staging are not comparable to
-  // RAM-staged legs — version the persisted caches by protocol
-  private def cacheName(base: String): String =
-    if (shmStaging) s"${base}_shm.tsv" else s"$base.tsv"
+  private def cacheName(base: String): String = s"$base$protocolTag.tsv"
 
   /** One crawl; `preSeeded` drains the full frontier in a single wave
     * (the north-metric shape), otherwise a 4096-seed BFS expansion. */
@@ -146,9 +162,10 @@ object Bench {
     try {
       val w0 = System.nanoTime()
       // warmup size is part of the floor protocol (w$cores values only
-      // compare across runs at the same size) — override for one-off
-      // experiments only (e.g. multi-executor legs JIT each executor
-      // JVM separately and need more rows per executor to reach C2)
+      // compare across runs at the same size; overrides are cache-
+      // versioned via protocolTag) — override for one-off experiments
+      // only (e.g. multi-executor legs JIT each executor JVM separately
+      // and need more rows per executor to reach C2)
       crawlOnce(spark, cores,
         sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_PAGES", "2000").toInt,
         preSeeded)
@@ -188,6 +205,8 @@ object Bench {
       "graft.Bench", "--crawl", cores.toString, nPages.toString, preSeeded.toString)
     try {
       val pb = new ProcessBuilder(cmd: _*)
+      // pin the leg to this process's staging decision (see shmStaging)
+      pb.environment().put("SPARK_GRAFT_BENCH_SHM_RESOLVED", if (shmStaging) "1" else "0")
       // discard child stderr (Spark logging) — reading it serially after
       // stdout would deadlock once the 64 KB pipe buffer fills
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
@@ -296,8 +315,13 @@ object Bench {
     val all = if (java.nio.file.Files.exists(file))
       new String(java.nio.file.Files.readAllBytes(file), "UTF-8")
         .linesIterator.map(_.split("\t"))
-        .filter(a => a.length == 5 && a(0).toLong == pages)
-        .map(a => (a(1).toDouble, a(2).toDouble, a(3).toDouble, a(4).toDouble))
+        // per-line tolerance: the file is appended by concurrent
+        // invocations without locking, so one torn/partial line must not
+        // discard every valid pair around it
+        .flatMap(a => scala.util.Try {
+          require(a.length == 5 && a(0).toLong == pages)
+          (a(1).toDouble, a(2).toDouble, a(3).toDouble, a(4).toDouble)
+        }.toOption)
         .toSeq
     else Seq.empty
     val clean = all.filter { case (_, wN, _, w4) =>

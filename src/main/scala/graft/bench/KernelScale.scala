@@ -13,8 +13,9 @@ object KernelScale {
     val rows = args(1).toInt
     val web = BenchWeb(seed = 42L, nHosts = 64, nPages = rows * threads)
     val f = new BenchFetcher(web)
-    // warmup
-    runSlice(f, web, 0, 2000)
+    // warmup (capped at nPages: BenchFetcher 404s ids >= nPages, and a
+    // 404 row skips the decode/psnr/phash kernel the timing measures)
+    runSlice(f, web, 0, math.min(2000, rows * threads))
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { k =>
       val t = new Thread(() => runSlice(f, web, k * rows, rows))

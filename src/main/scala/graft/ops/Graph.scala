@@ -39,12 +39,14 @@ object Graph {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, idCol: String = "id",
                iters: Int = 5, scale: Long = 1000000000000L,
-               checkpointEvery: Int = 2): DataFrame = {
+               checkpointEvery: Int = 2, nKnown: Option[Long] = None): DataFrame = {
     // node ids materialized ONCE: the per-round left join re-reads them,
     // and an unmaterialized projection would re-scan the node table every
-    // round (5 scans of a 10^10-row table for a 5-round rank)
+    // round (5 scans of a 10^10-row table for a 5-round rank). Callers
+    // that already counted the node table pass nKnown — the count here is
+    // otherwise a full pass of its own.
     val nodeIds = nodes.select(col(idCol).as("node_id")).localCheckpoint()
-    val n = nodeIds.count()
+    val n = nKnown.getOrElse(nodeIds.count())
     val base = scale / n
     val teleport = 15L * base / 100L
     val e = edges

@@ -90,7 +90,7 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     // the raw strings and every per-URL cost (canonicalize, host parse,
     // dedup, row encode) runs executor-side — at N vs 4N cores a driver-
     // serial init is pure Amdahl overhead charged to both legs.
-    val entriesDf: DataFrame = if (seeds.size <= conf.initDistributedThreshold) {
+    val (entriesDf: DataFrame, knownRows: Option[Long]) = if (seeds.size <= conf.initDistributedThreshold) {
       val canon = seeds.map(UrlCanon.canonicalize).filter(UrlCanon.isHttpUrl)
       val firstSeen = scala.collection.mutable.LinkedHashSet[String]()
       canon.foreach(firstSeen += _)
@@ -99,7 +99,8 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       }
       // parallelize the seed write: a driver Seq becomes a single-task
       // local relation otherwise (a 10^7-seed bootstrap would serialize)
-      spark.createDataset(entries).repartition(conf.nPartitions).toDF()
+      (spark.createDataset(entries).repartition(conf.nPartitions).toDF(),
+        Some(entries.size.toLong))
     } else {
       val raw = spark.sparkContext.parallelize(seeds, conf.nPartitions)
         .zipWithIndex() // positional: preserves seed-list order across partitions
@@ -119,11 +120,18 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
         .as[FrontierEntry].toDF()
       val out = df.localCheckpoint() // materialize before unpersisting the sort
       firstSeen.unpersist(blocking = false)
-      out
+      (out, None)
     }
+    // `seeds` = canonicalized/deduplicated frontier rows (equal to the
+    // frontier row count and max seq by construction — readers compare
+    // them); `seeds_raw` = the caller's list size including junk/dupes.
+    // The distributed branch counts the localCheckpointed result: a
+    // cached-partition count, not a recompute.
+    val nFrontier = knownRows.getOrElse(entriesDf.count())
     val id = store.commit(
       Seq("frontier" -> entriesDf),
-      Map("wave" -> "0", "seeds" -> seeds.size.toString))
+      Map("wave" -> "0", "seeds" -> nFrontier.toString,
+        "seeds_raw" -> seeds.size.toString))
     // drop any state cached before seeding
     maxSeqCache = None; loggedCache = None; seenBloom = None
     frontierState = None; flogKeysState = None

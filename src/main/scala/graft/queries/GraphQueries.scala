@@ -22,7 +22,9 @@ object GraphQueries {
       .select(col("src"),
         when(col("t0") === col("src"), (col("t0") + 1L) % n)
           .otherwise(col("t0")).as("dst"))
-    Graph.pageRank(docs.select("doc_id"), edges, "doc_id")
+    // n was already counted above (a zero-column parquet count) — pass it
+    // through so pageRank doesn't run a second count job over the nodes
+    Graph.pageRank(docs.select("doc_id"), edges, "doc_id", nKnown = Some(n))
       .select(col("node_id").as("doc_id"), col("rank").as("pagerank"))
       .orderBy("doc_id")
   }

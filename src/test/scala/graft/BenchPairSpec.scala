@@ -35,6 +35,20 @@ class BenchPairSpec extends AnyFunSuite {
     }
   }
 
+  test("a torn line does not discard the valid pairs around it") {
+    // the pairs file is appended by concurrent invocations with no
+    // locking — a process killed mid-append leaves a partial line
+    val lines = Seq(
+      "100000\t80.000\t21.0\t25.000\t11.0", // clean: eff 0.80
+      "100000\t90.0\t21",                   // torn mid-append
+      "100000\t70.000\t21.0\t20.000\t10.7") // clean: eff 0.875
+    withFile(lines) { p =>
+      val (med, n) = Bench.pairStats(p, 100000L, wbN = 20.0, wb4 = 10.0)
+      assert(n == 2)
+      assert(math.abs(med - 0.875) < 1e-9)
+    }
+  }
+
   test("missing file, malformed lines, unset floors -> (-1, 0)") {
     assert(Bench.pairStats(
       java.nio.file.Paths.get("/tmp/definitely-missing-pairs.tsv"),
