@@ -1,0 +1,156 @@
+#!/bin/bash
+# Probe-gated scaling-leg pair campaign (see BASELINE.md "Host-noise
+# handling"). Repeatedly runs the same pinned 100k-page crawl legs that
+# `graft.Bench` times — `graft.Bench --crawl <cores> 100000 true` in a
+# fresh taskset-pinned JVM — banking same-window (1-core, 4-core) pairs
+# into the pair ledger graft.Bench reports its
+# `scaling_efficiency_pair_median` from, and min-merging per-side floors
+# into its persisted best cache.
+#
+# Noise discipline (this host swings 2-3x for minutes-to-hours):
+#   1. a ~3 s pregate (1-thread ALU, 4-thread ALU, 4-thread bandwidth
+#      stream vs persisted floors) skips obviously-noisy windows;
+#   2. the CHEAP 4-core leg runs first, and its in-leg Spark warmup —
+#      the only probe that sees every noise mode the legs see — is the
+#      real gate: only a warmup within 1.12x of the floor spends the
+#      ~80-100 s 1-core leg and banks a pair. Dirty 4-core legs still
+#      feed the per-side minima (noise only ever adds time).
+#
+# Usage: tools/legpair_campaign.sh [passes]   (default: run until killed)
+# Requires the app compiled (sbt compile) and the classpath dumped:
+#   sbt -batch "export Runtime/fullClasspath" | tail -1 > /tmp/cp.txt
+CP=$(cat /tmp/cp.txt)
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+PROBE_FLOORS=/tmp/legloop5_probe_floors.tsv
+
+idlest() {
+  local n=$1
+  paste <(grep -E '^cpu[0-9]+' /proc/stat) <(sleep 0.4; grep -E '^cpu[0-9]+' /proc/stat) | \
+  awk -v n="$n" '{
+    cpu=substr($1,4)+0
+    t0=$2+$3+$4+$5+$6+$7+$8+$9+$10+$11; i0=$5+$6
+    t1=$13+$14+$15+$16+$17+$18+$19+$20+$21+$22; i1=$16+$17
+    busy=(t1-t0-(i1-i0))/(t1-t0>0?t1-t0:1)
+    printf "%f %d\n", busy, cpu
+  }' | sort -n | head -n "$n" | awk '{print $2}' | sort -n | paste -sd,
+}
+
+merge_best() {
+  python3 - "$1" "$2" <<'EOF'
+import sys
+key, val = sys.argv[1], float(sys.argv[2])
+p = "/tmp/graft_bench_best_shm.tsv"
+d = {}
+try:
+    for line in open(p):
+        parts = line.strip().split("\t")
+        if len(parts) == 2:
+            d[parts[0]] = float(parts[1])
+except FileNotFoundError:
+    pass
+d[key] = min(d.get(key, val), val)
+open(p, "w").write("\n".join(f"{k}\t{v}" for k, v in d.items()))
+EOF
+}
+
+# probe: prints "a1 a4 bw" seconds; exit 0 if quiet vs floors (updating them)
+probe_quiet() {
+  local pins1 pins4
+  pins1=$(idlest 1); pins4=$(idlest 4)
+  # 1) 1-thread ALU in awk (deterministic iteration count)
+  local t0 t1 a1 a4 bw
+  t0=$(date +%s.%N)
+  taskset -c "$pins1" awk 'BEGIN{x=1234567;for(i=0;i<15000000;i++){x=(x*31+7)%1000000007}}'
+  t1=$(date +%s.%N); a1=$(echo "$t1 $t0" | awk '{printf "%.3f", $1-$2}')
+  # 2) 4 parallel ALU
+  t0=$(date +%s.%N)
+  for p in $(echo "$pins4" | tr ',' ' '); do
+    taskset -c "$p" awk 'BEGIN{x=1234567;for(i=0;i<15000000;i++){x=(x*31+7)%1000000007}}' &
+  done
+  wait
+  t1=$(date +%s.%N); a4=$(echo "$t1 $t0" | awk '{printf "%.3f", $1-$2}')
+  # 3) bandwidth: stream 1 GiB from page cache via dd (4 parallel readers of /dev/zero -> memcpy)
+  t0=$(date +%s.%N)
+  for p in $(echo "$pins4" | tr ',' ' '); do
+    taskset -c "$p" dd if=/dev/zero of=/dev/null bs=1M count=1024 2>/dev/null &
+  done
+  wait
+  t1=$(date +%s.%N); bw=$(echo "$t1 $t0" | awk '{printf "%.3f", $1-$2}')
+  python3 - "$a1" "$a4" "$bw" <<'EOF'
+import sys
+a1, a4, bw = map(float, sys.argv[1:4])
+p = "/tmp/legloop5_probe_floors.tsv"
+d = {}
+try:
+    for line in open(p):
+        k, v = line.split()
+        d[k] = float(v)
+except FileNotFoundError:
+    pass
+quiet = True
+for k, v, tol in (("a1", a1, 1.20), ("a4", a4, 1.25), ("bw", bw, 1.25)):
+    b = min(d.get(k, v), v)
+    d[k] = b
+    if v > tol * b:
+        quiet = False
+open(p, "w").write("\n".join(f"{k} {v}" for k, v in d.items()))
+print(f"probe a1={a1} a4={a4} bw={bw} quiet={quiet}")
+sys.exit(0 if quiet else 1)
+EOF
+}
+
+run_leg() { # run_leg <cores>; sets S W (leg secs / warmup secs), returns 1 on parse failure
+  local cores=$1 pins out
+  pins=$(idlest "$cores")
+  out=$(taskset -c "$pins" java $OPENS -Dspark.ui.enabled=false -Xmx24g \
+    -XX:ActiveProcessorCount=$cores -cp "$CP" \
+    graft.Bench --crawl $cores 100000 true 2>/dev/null | grep CRAWL_LEG)
+  echo -e "$(date +%H:%M:%S)\t$cores\t$pins\t$out" >> /tmp/legloop2.tsv
+  set -- $out
+  [ -n "$3" ] || return 1
+  merge_best "l$cores:100000" "$3"
+  merge_best "w$cores" "$4"
+  S=$3; W=$4
+}
+
+wfloor() { # current warmup floor for core count $1
+  awk -v k="w$1" -F'\t' '$1==k{print $2}' /tmp/graft_bench_best_shm.tsv
+}
+
+# Gated pass structure: (1) cheap ALU/bw pre-gate skips obviously-noisy
+# windows for 3 s instead of 35 s; (2) the 4-core leg (cheap, ~25-35 s)
+# runs first and its Spark warmup is the REAL gate — only a clean w4
+# earns the expensive ~80-100 s 1-core leg. Dirty 4-core legs still feed
+# the per-side minima via merge_best; they just don't bank a pair or
+# spend the 1-core time.
+PASSES=${1:-999}
+for i in $(seq 1 "$PASSES"); do
+  if ! msg=$(probe_quiet); then
+    echo "$(date +%H:%M:%S) $msg — pregate sleep" >> /tmp/legloop5.log
+    sleep 60
+    continue
+  fi
+  S=""; W=""
+  if ! run_leg 4; then sleep 30; continue; fi
+  s4=$S; w4=$W
+  wb4=$(wfloor 4)
+  # stricter than pairStats' 1.25x counting threshold: banking a pair
+  # whose 4-core side is 1.2x-slow-but-technically-clean drags the
+  # clean-pair median with asymmetric noise; only a near-floor 4-core
+  # warmup earns the 1-core leg
+  dirty=$(echo "$w4 $wb4" | awk '{print ($1 > 1.12*$2) ? 1 : 0}')
+  if [ "$dirty" = 1 ]; then
+    echo "$(date +%H:%M:%S) w4=$w4 vs floor $wb4 dirty — skip 1-core leg" >> /tmp/legloop5.log
+    sleep 75
+    continue
+  fi
+  echo "$(date +%H:%M:%S) w4=$w4 clean (floor $wb4) — running 1-core leg" >> /tmp/legloop5.log
+  sleep 8
+  S=""; W=""
+  if run_leg 1; then
+    printf "100000\t%.3f\t%.3f\t%.3f\t%.3f\n" "$S" "$W" "$s4" "$w4" >> /tmp/graft_bench_pairs_shm.tsv
+    echo "$(date +%H:%M:%S) pair banked: s1=$S w1=$W s4=$s4 w4=$w4" >> /tmp/legloop5.log
+  fi
+  sleep 8
+done
+echo "$(date +%H:%M:%S) DONE" >> /tmp/legloop2.tsv
