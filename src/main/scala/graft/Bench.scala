@@ -336,7 +336,7 @@ object Bench {
     // round-2 additions: the heaviest new training-data ops, tracked so
     // a plan regression (q21-class recompute) shows up in the artifact
     "q45_ivf_ann", "q59_phash_pairs", "q60_chunk_dedup", "q62_pack_sequences",
-    "q73_image_dup_clusters")
+    "q73_image_dup_clusters", "q77_asof_join")
 
   def main(args: Array[String]): Unit = {
     // subprocess leg mode: --crawl <cores> <pages> <preSeeded>

@@ -95,6 +95,9 @@ object SparkEntry {
     "q47_image_features" -> SimQueries.q47ImageFeatures _,
     // link-graph analytics
     "q74_pagerank"       -> GraphQueries.q74PageRank _,
+    // temporal joins (as-of + binned interval join)
+    "q77_asof_join"      -> TemporalQueries.q77AsofJoin _,
+    "q78_range_join"     -> TemporalQueries.q78RangeJoin _,
     // snapshot-metadata statistics (A3/A7) + storage layout
     "q40_storage_stats"  -> StorageQueries.q40StorageStats _,
     "q54_bucketed_join"  -> StorageQueries.q54BucketedJoin _,
@@ -167,6 +170,8 @@ object SparkEntry {
     "q68_quantize_int8"  -> SimQueries.q68Sql,
     "q69_quantized_knn"  -> SimQueries.q69Sql,
     "q74_pagerank"       -> GraphQueries.q74Sql,
+    "q77_asof_join"      -> TemporalQueries.q77Sql,
+    "q78_range_join"     -> TemporalQueries.q78Sql,
     "q40_storage_stats"  -> StorageQueries.q40Sql,
     "q54_bucketed_join"  -> StorageQueries.q54Sql,
   )

@@ -117,6 +117,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q59 pair join is not an equi-join:\n${p.take(2000)}")
   }
 
+  test("q77: as-of join plans as one window pass — no join operator at all") {
+    // asOf union-tags both sides and runs a single per-key running
+    // window; a Join node here means the implementation degraded to a
+    // per-row lookup or an inequality join (O(L·R) per key at 10^10 rows)
+    val p = plan("q77_asof_join")
+    assert(!p.contains("Join"), s"as-of degraded to a join:\n${p.take(2000)}")
+    assert(p.contains("Window"), s"no window pass found:\n${p.take(2000)}")
+    // exactly one hash shuffle on the as-of key (__k) for the keyed
+    // window; more means the union sides shuffled separately. (q77's
+    // clicks pre-aggregation owns its own (user_id, ts) exchange — that
+    // one is the query's, not the operator's.)
+    val kEx = "hashpartitioning\\(__k".r.findAllIn(p).length
+    assert(kEx == 1, s"as-of shuffles the tagged union $kEx times:\n${p.take(2000)}")
+  }
+
+  test("q78: interval join is a binned equi-join, never a nested-loop range scan") {
+    val p = plan("q78_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degraded to all-pairs:\n${p.take(2000)}")
+  }
+
   test("similarity dot products run the codegen long_dot kernel, not interpreted HOFs") {
     // aggregate(zip_with(...)) has no doGenCode — it boxes through eval
     // per element. The similarity ops must plan the native expression
