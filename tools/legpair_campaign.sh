@@ -39,7 +39,7 @@ merge_best() {
   python3 - "$1" "$2" <<'EOF'
 import sys
 key, val = sys.argv[1], float(sys.argv[2])
-p = "/tmp/graft_bench_best_shm.tsv"
+p = "/tmp/graft_bench_best_shm_drain.tsv"
 d = {}
 try:
     for line in open(p):
@@ -114,7 +114,7 @@ run_leg() { # run_leg <cores>; sets S W (leg secs / warmup secs), returns 1 on p
 }
 
 wfloor() { # current warmup floor for core count $1
-  awk -v k="w$1" -F'\t' '$1==k{print $2}' /tmp/graft_bench_best_shm.tsv
+  awk -v k="w$1" -F'\t' '$1==k{print $2}' /tmp/graft_bench_best_shm_drain.tsv
 }
 
 # Gated pass structure: (1) cheap ALU/bw pre-gate skips obviously-noisy
@@ -148,7 +148,7 @@ for i in $(seq 1 "$PASSES"); do
   sleep 8
   S=""; W=""
   if run_leg 1; then
-    printf "100000\t%.3f\t%.3f\t%.3f\t%.3f\n" "$S" "$W" "$s4" "$w4" >> /tmp/graft_bench_pairs_shm.tsv
+    printf "100000\t%.3f\t%.3f\t%.3f\t%.3f\n" "$S" "$W" "$s4" "$w4" >> /tmp/graft_bench_pairs_shm_drain.tsv
     echo "$(date +%H:%M:%S) pair banked: s1=$S w1=$W s4=$s4 w4=$w4" >> /tmp/legloop5.log
   fi
   sleep 8
