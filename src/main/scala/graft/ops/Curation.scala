@@ -107,31 +107,8 @@ object Curation {
    */
   def packSequences(df: DataFrame, id: String, nTokens: Column,
                     budget: Long): DataFrame = {
-    val spark = df.sparkSession
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    // eager localCheckpoint (not persist): both rdd passes below read the
-    // materialized blocks, and the RDD is reclaimed by the ContextCleaner
-    // once callers drop the result — persist would pin a cache-manager
-    // entry per invocation for the session lifetime
-    val base = df.select(col(id), nTokens.cast("long").as("n_tokens"))
-      .repartitionByRange(nParts, col(id))
-      .sortWithinPartitions(col(id))
-      .localCheckpoint()
-    val partSums = base.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((pid, s))
-    }.collect().toMap
-    val offsets = (0 until partSums.size).scanLeft(0L)((acc, p) => acc + partSums(p))
-    val bcOff = spark.sparkContext.broadcast(offsets)
-    val schema = base.schema.add("start_tok", org.apache.spark.sql.types.LongType)
-    spark.createDataFrame(
-        base.rdd.mapPartitionsWithIndex { (pid, it) =>
-          var acc = bcOff.value(pid)
-          it.map { r =>
-            val row = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
-            acc += r.getLong(1)
-            row
-          }
-        }, schema)
+    runningOffset(df.select(col(id), nTokens.cast("long").as("n_tokens")),
+        Seq(col(id)))
       // last occupied token (empty docs occupy none: clamp to start_tok)
       .withColumn("last_tok", greatest(col("start_tok"), col("start_tok") + col("n_tokens") - 1))
       .select(col(id), col("n_tokens"), col("start_tok"),
@@ -139,6 +116,86 @@ object Curation {
         expr(s"last_tok div $budget").as("pack_last"),
         (expr(s"last_tok div $budget") - expr(s"start_tok div $budget") + 1).as("n_packs"))
   }
+
+  /** Distributed exclusive prefix sum: reorders `df` (which must carry a
+    * long `n_tokens` column) by `sortExprs` and adds `start_tok` = sum of
+    * `n_tokens` over all preceding rows in that order. Two passes over
+    * ONE range-repartition shuffle, never a single-partition window:
+    * per-partition totals (one long each) are prefix-summed on the
+    * driver and broadcast back, then a per-partition running sum assigns
+    * offsets — the same sort+two-pass shape the crawl pipeline uses for
+    * BFS seq assignment. The eager localCheckpoint (not persist) feeds
+    * both rdd passes and is reclaimed by the ContextCleaner once callers
+    * drop the result. */
+  private def runningOffset(df: DataFrame, sortExprs: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val base = df
+      .repartitionByRange(nParts, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .localCheckpoint()
+    val ti = base.schema.fieldIndex("n_tokens")
+    val partSums = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(ti)); Iterator((pid, s))
+    }.collect().toMap
+    val offsets = (0 until partSums.size).scanLeft(0L)((acc, p) => acc + partSums(p))
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val schema = base.schema.add("start_tok", org.apache.spark.sql.types.LongType)
+    spark.createDataFrame(
+      base.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = bcOff.value(pid)
+        it.map { r =>
+          val row = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+          acc += r.getLong(ti)
+          row
+        }
+      }, schema)
+  }
+
+  /**
+   * Quality-greedy selection under a global token budget — the "take the
+   * best B tokens" step of curated pretraining (public practice: score
+   * the corpus, keep the highest-quality documents until the token
+   * budget is exhausted). Documents are ordered (quality DESC, id ASC —
+   * the id tie-break makes equal-quality cuts reproducible) and
+   * `selected` is true while the running token total stays ≤ `budget`.
+   *
+   * Scale: the global ordered prefix sum reuses [[packSequences]]'
+   * two-pass range-shuffle machinery — one shuffle, no single-partition
+   * window, exact integer running totals at any corpus size.
+   */
+  def selectUnderBudget(df: DataFrame, id: String, nTokens: Column,
+                        quality: Column, budget: Long): DataFrame =
+    runningOffset(
+        df.select(col(id), quality.as("quality"), nTokens.cast("long").as("n_tokens")),
+        Seq(col("quality").desc, col(id)))
+      .withColumn("cum_tokens", col("start_tok") + col("n_tokens"))
+      .withColumn("selected", col("cum_tokens") <= budget)
+      .select(col(id), col("quality"), col("n_tokens"), col("cum_tokens"), col("selected"))
+
+  /**
+   * Per-stratum quality calibration (FineWeb/CCNet-style per-dump
+   * thresholding, public practice): raw quality signals are not
+   * comparable across sources — a news dump and a forum dump have
+   * different score distributions — so each row gets its within-stratum
+   * percentile rank and the keep decision is made on the percentile.
+   * percent_rank = (rank−1)/(n−1): deterministic under ties (equal
+   * scores share a percentile) and engine-portable (one IEEE division).
+   *
+   * Scale: one window sort per stratum; sources ≫ partitions at corpus
+   * scale, so the sorts parallelize. For a single dominant stratum,
+   * replace the window with the range-partition + two-pass rank
+   * (the [[packSequences]] prefix-sum shape); pipelines that can accept
+   * approximation instead broadcast per-source `percentile_approx`
+   * thresholds and skip the sort entirely.
+   */
+  def calibrateQuality(df: DataFrame, id: String, stratum: String,
+                       score: Column, dropBelowPctl: Double = 0.1): DataFrame =
+    df.select(col(id), col(stratum), score.as("raw_score"))
+      .withColumn("pctl", percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(stratum)).orderBy(col("raw_score"))))
+      .withColumn("keep", col("pctl") >= dropBelowPctl)
 
   /**
    * Source-mixing weights for corpus sampling: weight(source) ∝

@@ -111,4 +111,62 @@ object Multimodal {
       .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1, lit(every))))
       .withColumn("frame_key", md5(concat(col(idCol).cast("string"), lit(":"), col("frame_idx").cast("string"))))
       .select(col(idCol), col("frame_idx"), col("frame_key"))
+
+  /**
+   * CLIP-score-style image-text alignment (the LAION-400M/5B curation
+   * filter, public practice: keep an (image, caption) pair iff the
+   * cosine between the caption embedding and the image embedding clears
+   * a threshold). No CLIP model exists in this container, so the
+   * caption side uses a deterministic feature-hash embedding (the
+   * "hashing trick"): token t adds ±1 (md5-derived sign) to dimension
+   * md5(t) % dim. The image side is the real embedding column. The
+   * Spark shape is exactly what a model-backed scorer needs — sparse
+   * caption vectors from one explode + map-side-combined hash
+   * aggregate, one long-keyed equi-join against the image embeddings,
+   * an exact-integer dot — so swapping the hash embed for a batched
+   * model UDF changes nothing else in the plan.
+   *
+   * Determinism: caption counts are exact integers; image vectors use
+   * the 2^20 fixed-point scaling ([[Similarity]]); the per-pair dot is
+   * an integer sum over map entries (order-free), so the score is
+   * bit-identical across engines and partitionings (the scale factors
+   * cancel in the cosine). Captionless or fully-sign-cancelled
+   * captions score 0.0.
+   *
+   * Scale: tokenize/explode and the bucket hash are map-side; the wide
+   * ops are the (id, bucket) partial-agg shuffle, the per-id gather,
+   * and the id equi-join — never all-pairs, and the shuffled caption
+   * vectors are sparse (≤ caption-token entries, not `dim`).
+   */
+  def captionAlignment(docs: DataFrame, id: String, text: String,
+                       emb: DataFrame, embId: String, embCol: String,
+                       dim: Int = 64, minScore: Double = 0.0): DataFrame = {
+    val h = md5(col("token"))
+    val cap = TextAnalysis.tokenize(docs, id, text)
+      .withColumn("bucket",
+        (conv(substring(h, 1, 4), 16, 10).cast("long") % dim).cast("int"))
+      .withColumn("sgn",
+        when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L))
+      .groupBy(col(id), col("bucket"))
+      .agg(sum(col("sgn")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .groupBy(col(id))
+      .agg(
+        map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("cvec"),
+        sum(col("cnt") * col("cnt")).as("cn2"))
+    val img = Similarity.withScaled(emb, embCol)
+      .select(col(embId).as(id), col("scaled"), col("norm2"))
+    docs.select(col(id))
+      .join(img, Seq(id))
+      .join(cap, Seq(id), "left")
+      .withColumn("dot", coalesce(
+        aggregate(map_entries(col("cvec")), lit(0L),
+          (acc, e) => acc + e.getField("value") * element_at(col("scaled"), e.getField("key") + 1)),
+        lit(0L)))
+      .withColumn("align_score",
+        when(coalesce(col("cn2"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(Similarity.cosine(col("dot"), col("cn2"), col("norm2"))))
+      .withColumn("aligned", col("align_score") >= minScore)
+      .select(col(id), col("align_score"), col("aligned"))
+  }
 }

@@ -170,4 +170,47 @@ object CurationQueries {
       | FROM k)
       |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  /** q80: per-source quality calibration — within-source percentile rank
+    * of the raw quality signal (n_chars), keep = above the bottom
+    * decile OF ITS SOURCE. The cross-source comparability step that runs
+    * before any global threshold/mixing decision. */
+  def q80QualityCalibrate(s: SparkSession, d: String): DataFrame =
+    Curation.calibrateQuality(documents(s, d), "doc_id", "source",
+        col("n_chars"), dropBelowPctl = 0.1)
+      .orderBy(col("doc_id"))
+
+  val q80Sql: String =
+    """SELECT doc_id, source, raw_score, pctl, pctl >= 0.1 AS keep FROM (
+      | SELECT doc_id, source, n_chars AS raw_score,
+      |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pctl
+      | FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q81: token-budget selection — greedy highest-avg-token-length-first
+    * until the 10k-token budget is spent (37% of the sf0.01 corpus, 4%
+    * at sf0.1, so both scales exercise the cut). Exact integer running
+    * totals via the distributed prefix sum — no single-partition
+    * window. */
+  def q81TokenBudget(s: SparkSession, d: String): DataFrame = {
+    val qs = graft.ops.TextAnalysis.qualityScore(documents(s, d), "doc_id", "text")
+    Curation.selectUnderBudget(qs, "doc_id", col("n_tokens"),
+        col("avg_token_len"), budget = 10000L)
+      .orderBy(col("doc_id"))
+  }
+
+  val q81Sql: String =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tk
+      | FROM documents),
+      |q AS (
+      | SELECT doc_id,
+      |  CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk) AS quality,
+      |  CAST(len(tk) AS BIGINT) AS n_tokens
+      | FROM t)
+      |SELECT doc_id, quality, n_tokens, cum_tokens, cum_tokens <= 10000 AS selected FROM (
+      | SELECT doc_id, quality, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      | FROM q)
+      |ORDER BY doc_id""".stripMargin
 }

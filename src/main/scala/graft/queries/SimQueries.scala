@@ -263,6 +263,48 @@ object SimQueries {
     feats.join(resized, "doc_id").orderBy(col("doc_id"))
   }
 
+  /** q79: CLIP-score-style image-text alignment filter (LAION-style
+    * multimodal curation): cosine between a deterministic feature-hash
+    * caption embedding (64 buckets, md5-derived ±1 signs) and the image
+    * embedding, pairs keyed doc_id = vec_id. Threshold 0.0 is
+    * demonstrative — the synthetic captions/embeddings are independent,
+    * so scores center on 0 and ~half the pairs pass; the operator's
+    * threshold is a free parameter. */
+  def q79ClipAlign(s: SparkSession, d: String): DataFrame =
+    Multimodal.captionAlignment(documents(s, d), "doc_id", "text",
+        embeddings(s, d), "vec_id", "embedding", dim = 64, minScore = 0.0)
+      .orderBy(col("doc_id"))
+
+  val q79Sql: String =
+    """WITH tok AS (
+      | SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS token
+      | FROM documents),
+      |sp AS (
+      | SELECT doc_id,
+      |  CAST(CAST(concat('0x', substr(md5(token), 1, 4)) AS BIGINT) % 64 AS INT) AS bucket,
+      |  CASE WHEN CAST(concat('0x', substr(md5(token), 5, 1)) AS INT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      | FROM tok),
+      |cap AS (
+      | SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS cnt
+      | FROM sp GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+      |cn AS (SELECT doc_id, sum(cnt * cnt) AS cn2 FROM cap GROUP BY 1),
+      |img AS (
+      | SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s
+      | FROM embeddings),
+      |imn AS (SELECT vec_id, s, list_sum(list_transform(s, x -> x * x)) AS n2 FROM img),
+      |dots AS (
+      | SELECT c.doc_id, sum(c.cnt * i.s[c.bucket + 1]) AS dot
+      | FROM cap c JOIN imn i ON i.vec_id = c.doc_id GROUP BY 1)
+      |SELECT doc_id, align_score, align_score >= 0.0 AS aligned FROM (
+      | SELECT d.doc_id,
+      |  CASE WHEN cn.cn2 IS NULL OR cn.cn2 = 0 THEN 0.0
+      |       ELSE CAST(dots.dot AS DOUBLE) / (sqrt(CAST(cn.cn2 AS DOUBLE)) * sqrt(CAST(imn.n2 AS DOUBLE))) END AS align_score
+      | FROM documents d
+      | JOIN imn ON imn.vec_id = d.doc_id
+      | LEFT JOIN cn ON cn.doc_id = d.doc_id
+      | LEFT JOIN dots ON dots.doc_id = d.doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q37: frame sampling (stride 2) — generator over multimodal metadata. */
   def q37FrameSample(s: SparkSession, d: String): DataFrame = {
     val meta = q36MultimodalMeta(s, d)

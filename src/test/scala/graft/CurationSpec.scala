@@ -256,4 +256,71 @@ class CurationSpec extends AnyFunSuite {
     assert(wBig < 0.9 && wBig > wSmall)
     assert(wBig / wSmall < nBig.toDouble / nSmall) // compression of the ratio
   }
+
+  test("selectUnderBudget: greedy order, exact cut, id tie-break") {
+    // qualities: d1=3.0, d2=2.0, d3=2.0, d4=1.0; tokens 4, 3, 3, 2;
+    // budget 7 -> take d1 (cum 4), d2 (cum 7; tie with d3 broken by id),
+    // d3 would hit 10 > 7 -> out, d4 out (greedy, not knapsack).
+    val docs = Seq((1L, 3.0, 4L), (2L, 2.0, 3L), (3L, 2.0, 3L), (4L, 1.0, 2L))
+      .toDF("doc_id", "q", "nt")
+    val got = Curation.selectUnderBudget(docs.repartition(3), "doc_id",
+        col("nt"), col("q"), budget = 7L)
+      .select($"doc_id", $"cum_tokens", $"selected")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 4L, true), (2L, 7L, true), (3L, 10L, false), (4L, 12L, false)))
+  }
+
+  test("calibrateQuality: within-source percentiles, ties share, cut per source") {
+    // source A scores 1..10 (unique), source B all-equal: B must keep
+    // everything (percent_rank 0 for ties at the only value -> dropped?
+    // no: ties all get rank 1 -> pctl 0 -> below 0.1 -> B drops ALL,
+    // which is the documented percent_rank semantics; use two B values
+    // so the lower half is droppable and the upper half kept).
+    val rows = (1 to 10).map(i => (i.toLong, "A", i.toLong)) ++
+      Seq((11L, "B", 5L), (12L, "B", 5L), (13L, "B", 9L), (14L, "B", 9L))
+    val got = Curation.calibrateQuality(rows.toDF("doc_id", "source", "sc")
+          .repartition(3), "doc_id", "source", col("sc"), dropBelowPctl = 0.5)
+      .select($"doc_id", $"pctl", $"keep").as[(Long, Double, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // A: pctl = (rank-1)/9; keep iff >= 0.5 -> scores 6..10
+    (1 to 10).foreach { i => assert(got(i.toLong)._2 == (i >= 6), s"A$i") }
+    // B: the two 5s share pctl 0.0 (dropped), the two 9s share 2/3 (kept)
+    assert(got(11L) == ((0.0, false)) && got(12L) == ((0.0, false)))
+    assert(got(13L)._2 && got(14L)._2 && math.abs(got(13L)._1 - 2.0 / 3) < 1e-12)
+  }
+
+  test("captionAlignment: proportional embedding -> 1.0, negated -> -1.0, empty -> 0.0") {
+    import graft.ops.Multimodal
+    // replicate the operator's md5 bucket/sign on the driver
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    def bucketSgn(t: String): (Int, Long) = {
+      val h = md5hex(t)
+      (Integer.parseInt(h.substring(0, 4), 16) % 64,
+        if (Integer.parseInt(h.substring(4, 5), 16) % 2 == 0) 1L else -1L)
+    }
+    val caption = "alpha beta gamma alpha"
+    val cnt = Array.fill(64)(0L)
+    caption.split(" ").foreach { t => val (b, s) = bucketSgn(t); cnt(b) += s }
+    // embedding = cnt * 0.5: exactly representable floats, so the scaled
+    // integer vector is exactly proportional to the caption hash vector
+    val docs = Seq((1L, caption), (2L, caption), (3L, "")).toDF("doc_id", "text")
+    val emb = Seq(
+        (1L, cnt.map(c => c.toFloat * 0.5f).toSeq),
+        (2L, cnt.map(c => -c.toFloat * 0.5f).toSeq),
+        (3L, Seq.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Multimodal.captionAlignment(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", dim = 64, minScore = 0.0)
+      .select($"doc_id", $"align_score", $"aligned")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    // ±1 cosine up to sqrt rounding (sqrt(Σc²) is not a perfect square);
+    // the value is still bit-deterministic — the oracle computes the
+    // same IEEE ops — just not exactly ±1.0
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(got(0)._2 - 1.0) < 1e-12 && got(0)._3)
+    assert(math.abs(got(1)._2 + 1.0) < 1e-12 && !got(1)._3)
+    assert(got(2)._2 == 0.0 && got(2)._3)
+  }
 }
