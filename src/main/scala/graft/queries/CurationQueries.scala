@@ -213,4 +213,106 @@ object CurationQueries {
       |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
       | FROM q)
       |ORDER BY doc_id""".stripMargin
+
+  /** q82: the IMAGE-PAIR curation pipeline end-to-end — the image
+    * analogue of q58's text pipeline, composing the round-2 multimodal
+    * operators in the order a LAION-style 100-TB corpus build runs
+    * them: (1) banded pHash near-dup clustering keeps one copy per
+    * visual cluster (q73 machinery), (2) CLIP-score-style image-text
+    * alignment drops mismatched captions (q79), (3) per-source quality
+    * calibration drops each source's bottom decile by caption length
+    * (q80), then the surviving corpus is summarized per source. The
+    * oracle rebuilds every stage in DuckDB — brute-force Hamming pairs
+    * + recursive-CTE reachability for the dedup, the same feature-hash
+    * caption embedding for the alignment — so a hash match certifies
+    * the whole composition, not just each stage in isolation.
+    *
+    * Scale posture: every pair-generating step is banded/bucketed
+    * (never all-pairs), the alignment join is an id equi-join, and the
+    * calibration window parallelizes across sources; the stages
+    * communicate through id-keyed semi-joins, so nothing widens past
+    * the corpus row count. */
+  def q82ImageCurationPipe(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val sigs = DedupQueries.plantedPhashes(s, d)
+    val pairs = graft.ops.Dedup.signaturePairs(sigs, "doc_id", "phash",
+      maxDist = 2, bits = 60)
+    val keepers = graft.ops.Dedup
+      .connectedComponents(sigs, "doc_id", pairs, "doc_a", "doc_b")
+      .filter(col("node") === col("label"))
+      .select(col("node").as("doc_id"))
+    val aligned = graft.ops.Multimodal.captionAlignment(docs, "doc_id", "text",
+        embeddings(s, d), "vec_id", "embedding", dim = 64, minScore = 0.0)
+      .filter(col("aligned"))
+      .select(col("doc_id"))
+    val kept = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(keepers, "doc_id")
+      .join(aligned, "doc_id")
+    Curation.calibrateQuality(kept, "doc_id", "source", col("n_chars"),
+        dropBelowPctl = 0.1)
+      .filter(col("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("raw_score").cast("long")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q82Sql: String =
+    """WITH RECURSIVE sig AS (
+      | SELECT doc_id,
+      |  xor(CAST(concat('0x', substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 15)) AS BIGINT),
+      |      CASE WHEN doc_id % 3 = 0 THEN (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+      |           ELSE CAST(0 AS BIGINT) END) AS phash
+      | FROM documents),
+      |edges AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      | WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+      |sym AS (SELECT doc_a AS s, doc_b AS t FROM edges UNION ALL SELECT doc_b, doc_a FROM edges),
+      |reach(node, lab) AS (
+      | SELECT doc_id, doc_id FROM sig
+      | UNION
+      | SELECT e.t, r.lab FROM reach r JOIN sym e ON e.s = r.node),
+      |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+      |keepers AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+      |tok AS (
+      | SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS token
+      | FROM documents),
+      |sp AS (
+      | SELECT doc_id,
+      |  CAST(CAST(concat('0x', substr(md5(token), 1, 4)) AS BIGINT) % 64 AS INT) AS bucket,
+      |  CASE WHEN CAST(concat('0x', substr(md5(token), 5, 1)) AS INT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      | FROM tok),
+      |cap AS (
+      | SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS cnt
+      | FROM sp GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+      |cn AS (SELECT doc_id, sum(cnt * cnt) AS cn2 FROM cap GROUP BY 1),
+      |img AS (
+      | SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s
+      | FROM embeddings),
+      |imn AS (SELECT vec_id, s, list_sum(list_transform(s, x -> x * x)) AS n2 FROM img),
+      |dots AS (
+      | SELECT c.doc_id, sum(c.cnt * i.s[c.bucket + 1]) AS dot
+      | FROM cap c JOIN imn i ON i.vec_id = c.doc_id GROUP BY 1),
+      |align AS (
+      | SELECT d.doc_id,
+      |  CASE WHEN cn.cn2 IS NULL OR cn.cn2 = 0 THEN 0.0
+      |       ELSE CAST(dots.dot AS DOUBLE) / (sqrt(CAST(cn.cn2 AS DOUBLE)) * sqrt(CAST(imn.n2 AS DOUBLE))) END AS align_score
+      | FROM documents d
+      | JOIN imn ON imn.vec_id = d.doc_id
+      | LEFT JOIN cn ON cn.doc_id = d.doc_id
+      | LEFT JOIN dots ON dots.doc_id = d.doc_id),
+      |kept AS (
+      | SELECT d.doc_id, d.source, d.n_chars
+      | FROM documents d
+      | JOIN keepers k ON k.doc_id = d.doc_id
+      | JOIN align a ON a.doc_id = d.doc_id
+      | WHERE a.align_score >= 0.0),
+      |cal AS (
+      | SELECT source, n_chars,
+      |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pctl
+      | FROM kept)
+      |SELECT source, count(*) AS n_images, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM cal WHERE pctl >= 0.1
+      |GROUP BY source ORDER BY source""".stripMargin
 }

@@ -189,7 +189,7 @@ object DedupQueries {
   /** The deterministic planted-pHash table shared by q59/q73: a 60-bit
     * cluster base from md5(doc_id % 50), one bit flipped for every
     * third doc. */
-  private def plantedPhashes(s: SparkSession, d: String): DataFrame = {
+  private[queries] def plantedPhashes(s: SparkSession, d: String): DataFrame = {
     val base = conv(substring(md5((col("doc_id") % 50).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val flip = when(col("doc_id") % 3 === 0,

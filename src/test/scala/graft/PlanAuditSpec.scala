@@ -219,6 +219,51 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q79: caption-alignment is id equi-joined, sparse side aggregated once") {
+    // captionAlignment's wide ops are the (id, bucket) partial-agg
+    // shuffle and the id equi-join against the image embeddings; a
+    // CartesianProduct / BNLJ here means the pair scoring degraded to
+    // all-pairs — n² over 10^10 image rows
+    val p = plan("q79_clip_align")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q79 alignment join is not an equi-join:\n${p.take(2000)}")
+    // the caption tokenize+hash aggregate (the heavy subtree) feeds the
+    // plan exactly once: one documents scan for it plus one pruned
+    // id-only scan for the join spine
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"q79 scans documents $scans times:\n${p.take(2000)}")
+  }
+
+  test("q80: calibration windows hash-partition by source, never SinglePartition") {
+    // percent_rank per stratum: the window exchange must be
+    // hashpartitioning(source) — a SinglePartition exchange means the
+    // whole corpus sorts on one task at 100 TB
+    val p = plan("q80_quality_calibrate")
+    assert(p.contains("Window"), s"no window pass:\n${p.take(1500)}")
+    assert("hashpartitioning\\(source".r.findAllIn(p).nonEmpty,
+      s"calibration window not partitioned by source:\n${p.take(2000)}")
+  }
+
+  test("q81: budget selection runs the distributed prefix sum, not a global window") {
+    // selectUnderBudget's running total is the two-pass range-shuffle
+    // prefix sum; a Window node here means it regressed to the
+    // single-partition running-sum window (one task scans the corpus)
+    val p = plan("q81_token_budget")
+    assert(!p.contains("Window"), s"q81 regressed to a window running sum:\n${p.take(2000)}")
+    assert(!p.contains("SinglePartition"), s"q81 funnels through one partition:\n${p.take(2000)}")
+  }
+
+  test("q82: composed image-curation pipeline keeps every join keyed") {
+    // the capstone composition must inherit each stage's posture: no
+    // stage may degrade to all-pairs, and the calibration window stays
+    // per-source
+    val p = plan("q82_image_curation")
+    assert(!p.contains("CartesianProduct"),
+      s"a q82 stage degraded to all-pairs:\n${p.take(2000)}")
+    assert("hashpartitioning\\(source".r.findAllIn(p).nonEmpty,
+      s"q82 calibration window not partitioned by source:\n${p.take(2000)}")
+  }
+
   test("crawl seen-probe: native might_contain, no Scala UDF filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
