@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -138,11 +138,15 @@ object Multimodal {
    * and the id equi-join — never all-pairs, and the shuffled caption
    * vectors are sparse (≤ caption-token entries, not `dim`).
    */
-  def captionAlignment(docs: DataFrame, id: String, text: String,
-                       emb: DataFrame, embId: String, embCol: String,
-                       dim: Int = 64, minScore: Double = 0.0): DataFrame = {
+  /** Sparse feature-hash caption embedding shared by [[captionAlignment]]
+    * and [[crossModalSearch]]: per id, a `cvec` map (hash bucket →
+    * signed token count, zero entries dropped) and its exact squared
+    * norm `cn2`. Ids whose captions have no tokens (or fully cancel)
+    * produce no row. */
+  private def hashCaptionVec(docs: DataFrame, id: String, text: String,
+                             dim: Int): DataFrame = {
     val h = md5(col("token"))
-    val cap = TextAnalysis.tokenize(docs, id, text)
+    TextAnalysis.tokenize(docs, id, text)
       .withColumn("bucket",
         (conv(substring(h, 1, 4), 16, 10).cast("long") % dim).cast("int"))
       .withColumn("sgn",
@@ -154,19 +158,72 @@ object Multimodal {
       .agg(
         map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("cvec"),
         sum(col("cnt") * col("cnt")).as("cn2"))
+  }
+
+  /** Exact integer dot between a sparse caption map and a dense scaled
+    * vector column (order-free sum over map entries). Interpreted HOF,
+    * but over ≤ caption-token entries — never `dim` — per row. */
+  private def sparseDot(cvec: Column, dense: Column): Column =
+    aggregate(map_entries(cvec), lit(0L),
+      (acc, e) => acc + e.getField("value") * element_at(dense, e.getField("key") + 1))
+
+  def captionAlignment(docs: DataFrame, id: String, text: String,
+                       emb: DataFrame, embId: String, embCol: String,
+                       dim: Int = 64, minScore: Double = 0.0): DataFrame = {
+    val cap = hashCaptionVec(docs, id, text, dim)
     val img = Similarity.withScaled(emb, embCol)
       .select(col(embId).as(id), col("scaled"), col("norm2"))
     docs.select(col(id))
       .join(img, Seq(id))
       .join(cap, Seq(id), "left")
-      .withColumn("dot", coalesce(
-        aggregate(map_entries(col("cvec")), lit(0L),
-          (acc, e) => acc + e.getField("value") * element_at(col("scaled"), e.getField("key") + 1)),
-        lit(0L)))
+      .withColumn("dot", coalesce(sparseDot(col("cvec"), col("scaled")), lit(0L)))
       .withColumn("align_score",
         when(coalesce(col("cn2"), lit(0L)) === 0L, lit(0.0))
           .otherwise(Similarity.cosine(col("dot"), col("cn2"), col("norm2"))))
       .withColumn("aligned", col("align_score") >= minScore)
       .select(col(id), col("align_score"), col("aligned"))
+  }
+
+  /**
+   * Cross-modal retrieval: text query → top-k images. The SEARCH shape
+   * of the modality pair (captionAlignment is the filter shape): each
+   * query caption is hash-embedded into the image-embedding space (same
+   * feature-hash trick, so a model-backed encoder slots in without plan
+   * changes), the image corpus is sign-LSH bucketed
+   * ([[Similarity.signLshBucket]]), and the query probes ONLY its own
+   * bucket — recall is governed by nPlanes (fewer planes → bigger
+   * buckets → higher recall, more compute), exactness within the probed
+   * bucket is total.
+   *
+   * Scale: bucketing the corpus is one map-side pass (codegen long_dot
+   * against literal planes); the probe is a bucket equi-join, so the
+   * shuffle is bounded by bucket sizes — never |Q|×|N|. Query-side
+   * plane projections run an interpreted HOF over the SPARSE caption
+   * map (≤ tokens entries), and |Q| ≪ |N|. Queries with empty or
+   * fully-cancelled captions return no rows (nothing to embed).
+   *
+   * Determinism: integer dots + IEEE division/sqrt; ranking ties break
+   * on image id — bit-identical across engines and partitionings.
+   */
+  def crossModalSearch(queries: DataFrame, qid: String, text: String,
+                       images: DataFrame, imgId: String, embCol: String,
+                       dim: Int = 64, nPlanes: Int = 4, k: Int = 5): DataFrame = {
+    val cap = hashCaptionVec(queries, qid, text, dim)
+    val qBucket = (0 until nPlanes).map { p =>
+      val plane = array(Similarity.planeArray(p, dim).toIndexedSeq.map(lit(_)): _*)
+      when(sparseDot(col("cvec"), plane) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+    val q = cap.withColumn("bucket", qBucket)
+      .select(col(qid).as("query_id"), col("cvec"), col("cn2"), col("bucket"))
+    val img = Similarity.signLshBucket(images, imgId, embCol, dim, nPlanes)
+      .select(col(imgId).as("image_id"), col("scaled"), col("norm2"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("image_id"))
+    q.join(img, "bucket")
+      .withColumn("sim",
+        Similarity.cosine(sparseDot(col("cvec"), col("scaled")), col("cn2"), col("norm2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("image_id"), col("sim"))
   }
 }

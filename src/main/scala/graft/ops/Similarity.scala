@@ -81,18 +81,22 @@ object Similarity {
    * projections. Vectors in the same bucket are near-duplicate
    * candidates — at scale the cross join becomes a bucket equi-join.
    */
+  /** Hyperplane `p`'s ±1 sign components (deterministic, tiny — built on
+    * the driver and embedded as literals): component i = +1 if
+    * md5("p:i")'s first byte is odd else -1. Shared by [[signLshBucket]]
+    * and the cross-modal query-side bucketing
+    * ([[Multimodal.crossModalSearch]]) so text queries land in the same
+    * buckets as the images they probe. */
+  def planeArray(p: Int, dim: Int): Array[Long] =
+    (0 until dim).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1L else -1L
+    }.toArray
+
   def signLshBucket(df: DataFrame, id: String, emb: String, dim: Int, nPlanes: Int): DataFrame = {
     val scaled = withScaled(df, emb)
-    // Plane sign arrays built once on the driver (deterministic, tiny)
-    // and embedded as literals: component = +1 if md5("p:i") first byte
-    // is odd else -1.
-    val planeArrays = (0 until nPlanes).map { p =>
-      (0 until dim).map { i =>
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p:$i".getBytes("UTF-8"))
-        if ((h(0) & 1) == 1) 1L else -1L
-      }.toArray
-    }
+    val planeArrays = (0 until nPlanes).map(p => planeArray(p, dim))
     val bucketExpr = (0 until nPlanes).map { p =>
       val plane = array(planeArrays(p).map(lit(_)).toIndexedSeq: _*)
       when(dotCol(col("scaled"), plane) > 0, lit(1 << p)).otherwise(lit(0))

@@ -319,4 +319,71 @@ object SimQueries {
       |SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx,
       | md5(concat(doc_id, ':', unnest(range(0, n_frames, 2)))) AS frame_key
       |FROM meta ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** q83: cross-modal retrieval — text caption → top-5 images through a
+    * sign-LSH single-bucket probe (the SEARCH shape of the image-text
+    * pair; q79 is the filter shape). Every 50th document's caption is a
+    * query; 4 planes → 16 buckets over the image corpus; exact integer
+    * cosine inside the probed bucket. The oracle replays the hash
+    * embedding, the plane projections, and the bucket probe, so a hash
+    * match certifies query and corpus land in the same buckets AND the
+    * within-bucket ranking is exact. */
+  def q83CrossmodalSearch(s: SparkSession, d: String): DataFrame =
+    Multimodal.crossModalSearch(
+        documents(s, d).filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        embeddings(s, d), "vec_id", "embedding", dim = 64, nPlanes = 4, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  val q83Sql: String = {
+    val dim = 64; val nPlanes = 4
+    val planeLits = (0 until nPlanes).map { p =>
+      graft.ops.Similarity.planeArray(p, dim).mkString("[", ",", "]")
+    }
+    // query-side plane projections over the SPARSE caption map
+    val qDots = (0 until nPlanes).map { p =>
+      s"sum(cnt * (${planeLits(p)})[hb+1]) AS d$p"
+    }.mkString(", ")
+    val qBucket = (0 until nPlanes).map { p =>
+      s"(CASE WHEN d$p > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    // image-side projections over the dense scaled vector (as q39)
+    val iBucket = (0 until nPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range($dim), i -> s[i+1] * (${planeLits(p)})[i+1])) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS token
+       | FROM documents WHERE doc_id % 50 = 0),
+       |sp AS (
+       | SELECT doc_id,
+       |  CAST(CAST(concat('0x', substr(md5(token), 1, 4)) AS BIGINT) % $dim AS INT) AS hb,
+       |  CASE WHEN CAST(concat('0x', substr(md5(token), 5, 1)) AS INT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       | FROM tok),
+       |cap AS (
+       | SELECT doc_id, hb, CAST(sum(sgn) AS BIGINT) AS cnt
+       | FROM sp GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+       |cn AS (SELECT doc_id, sum(cnt * cnt) AS cn2 FROM cap GROUP BY 1),
+       |qb AS (
+       | SELECT doc_id, CAST($qBucket AS INT) AS bucket
+       | FROM (SELECT doc_id, $qDots FROM cap GROUP BY doc_id)),
+       |sc AS (
+       | SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       | FROM embeddings),
+       |n AS (SELECT vec_id, s, list_sum(list_transform(s, x -> x * x)) AS n2 FROM sc),
+       |b AS (SELECT vec_id, s, n2, CAST($iBucket AS INT) AS bucket FROM n),
+       |cand AS (
+       | SELECT qb.doc_id AS query_id, b.vec_id AS image_id, b.s, b.n2
+       | FROM qb JOIN b ON b.bucket = qb.bucket),
+       |dots AS (
+       | SELECT cand.query_id, cand.image_id, sum(c.cnt * cand.s[c.hb+1]) AS dot,
+       |  any_value(cand.n2) AS n2
+       | FROM cand JOIN cap c ON c.doc_id = cand.query_id GROUP BY 1, 2),
+       |ranked AS (
+       | SELECT query_id, image_id,
+       |  CAST(dot AS DOUBLE) / (sqrt(CAST(cn.cn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(cn.cn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) DESC, image_id) AS INT) AS rank
+       | FROM dots JOIN cn ON cn.doc_id = dots.query_id)
+       |SELECT query_id, rank, image_id, sim FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 }

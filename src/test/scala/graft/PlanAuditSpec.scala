@@ -253,6 +253,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"q81 funnels through one partition:\n${p.take(2000)}")
   }
 
+  test("q83: cross-modal probe is a bucket equi-join with codegen image bucketing") {
+    // the text→image search must probe by sign-LSH bucket (equi-join),
+    // never score |Q|×|N| pairs, and the corpus-side plane projections
+    // must run the codegen long_dot kernel (the interpreted HOF is
+    // reserved for the sparse query side, |Q| ≪ |N|)
+    val p = plan("q83_crossmodal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q83 probe degraded to all-pairs:\n${p.take(2000)}")
+    assert(p.contains("long_dot"), s"image bucketing lost the codegen kernel:\n${p.take(1500)}")
+  }
+
   test("q82: composed image-curation pipeline keeps every join keyed") {
     // the capstone composition must inherit each stage's posture: no
     // stage may degrade to all-pairs, and the calibration window stays
