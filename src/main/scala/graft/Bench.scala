@@ -353,7 +353,10 @@ object Bench {
     // round-2 additions: the heaviest new training-data ops, tracked so
     // a plan regression (q21-class recompute) shows up in the artifact
     "q45_ivf_ann", "q59_phash_pairs", "q60_chunk_dedup", "q62_pack_sequences",
-    "q73_image_dup_clusters", "q77_asof_join")
+    "q73_image_dup_clusters", "q77_asof_join",
+    // round-2 closers: the caption-hash aggregate (q79) and the
+    // cross-modal bucket probe (q83) are the newest heavy shapes
+    "q79_clip_align", "q83_crossmodal")
 
   def main(args: Array[String]): Unit = {
     // subprocess leg mode: --crawl <cores> <pages> <preSeeded>
