@@ -323,4 +323,44 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(got(1)._2 + 1.0) < 1e-12 && !got(1)._3)
     assert(got(2)._2 == 0.0 && got(2)._3)
   }
+
+  test("crossModalSearch: query probes its own bucket; proportional image ranks first") {
+    import graft.ops.{Multimodal, Similarity}
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    def bucketSgn(t: String): (Int, Long) = {
+      val h = md5hex(t)
+      (Integer.parseInt(h.substring(0, 4), 16) % 64,
+        if (Integer.parseInt(h.substring(4, 5), 16) % 2 == 0) 1L else -1L)
+    }
+    val caption = "alpha beta gamma alpha delta"
+    val cnt = Array.fill(64)(0L)
+    caption.split(" ").foreach { t => val (b, s) = bucketSgn(t); cnt(b) += s }
+    // sanity: no plane projection is exactly zero, so the proportional
+    // image's bucket provably equals the query's (a zero dot would set
+    // the query bit by `> 0` on the sparse side and the image side
+    // identically anyway, but keep the fixture unambiguous)
+    val nPlanes = 4
+    (0 until nPlanes).foreach { p =>
+      val plane = Similarity.planeArray(p, 64)
+      val dot = cnt.indices.map(i => cnt(i) * plane(i)).sum
+      assert(dot != 0L, s"fixture degenerate: plane $p projection is 0")
+    }
+    val queries = Seq((7L, caption), (8L, "")).toDF("doc_id", "text")
+    val images = Seq(
+        (100L, cnt.map(c => c.toFloat * 0.5f).toSeq), // ∝ query vector: same bucket, sim ≈ 1
+        (101L, cnt.map(c => -c.toFloat * 0.5f).toSeq), // negated: complementary bucket, never probed
+        (102L, cnt.map(c => c.toFloat * 0.25f).toSeq)) // ∝ too: same bucket, sim ≈ 1, tie → id order
+      .toDF("vec_id", "embedding")
+    val got = Multimodal.crossModalSearch(queries, "doc_id", "text",
+        images, "vec_id", "embedding", dim = 64, nPlanes = nPlanes, k = 5)
+      .select($"query_id", $"rank", $"image_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // empty-caption query 8 returns nothing; query 7 sees exactly the
+    // two proportional images (cosine ties at ~1.0, id breaks the tie)
+    assert(got.map(_._1).distinct.toSeq == Seq(7L))
+    assert(got.map(r => (r._2, r._3)).toSeq == Seq((1, 100L), (2, 102L)))
+    got.foreach(r => assert(math.abs(r._4 - 1.0) < 1e-9))
+  }
 }
