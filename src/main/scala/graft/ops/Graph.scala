@@ -65,4 +65,60 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS hubs & authorities (SURVEY §2.10 T43) — the second classic
+    * link-authority score (Kleinberg): a good HUB links to good
+    * authorities, a good AUTHORITY is linked from good hubs. A crawl
+    * frontier uses hubs to find link-rich seed pages and authorities to
+    * prioritize fetch order; PageRank (above) measures global standing,
+    * HITS the hub/authority split within a topic subgraph.
+    *
+    * Integer fixed-point like pageRank: scores live in `scale` units and
+    * each round renormalizes by the round's max via integer division
+    * (`v * scale div max`), so results are bit-reproducible across
+    * engines and row orders. Overflow bound: the normalize multiply is
+    * raw * scale with raw <= max_in_degree * scale, so it needs
+    * max_degree * scale^2 < 2^63 — the default 10^6 scale allows degree
+    * up to ~9*10^6 (a 100-TB web graph's hottest page sits well under
+    * that after the standard intra-host link dedup).
+    *
+    * Scale shape: per round, two key-hashed aggregations (sum over in-
+    * edges, sum over out-edges) and two joins of the score table to the
+    * edge table — same-key hash both sides, AQE broadcasts when scores
+    * fit. The max is a 1-row agg crossJoined back (broadcast, no driver
+    * action). Edges are materialized once; score lineage is checkpoint-
+    * truncated every `checkpointEvery` rounds like pageRank. */
+  def hits(nodes: DataFrame, edges: DataFrame, idCol: String = "id",
+           iters: Int = 3, scale: Long = 1000000L,
+           checkpointEvery: Int = 2): DataFrame = {
+    val nodeIds = nodes.select(col(idCol).as("node_id")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    def renorm(raw: DataFrame, v: String): DataFrame = {
+      val m = raw.agg(max(col(v)).as("mx"))
+      raw.crossJoin(broadcast(m))
+        .select(col("node_id"), expr(s"$v * $scale div mx").as(v))
+    }
+    var hubs = nodeIds.select(col("node_id"), lit(scale).as("hub"))
+    for (k <- 1 to iters) {
+      val authRaw = nodeIds.join(
+          e.join(hubs, e("src") === hubs("node_id"))
+            .groupBy(col("dst")).agg(sum(col("hub")).as("raw")),
+          col("node_id") === col("dst"), "left")
+        .select(col("node_id"), coalesce(col("raw"), lit(0L)).as("auth"))
+      val auths = renorm(authRaw, "auth")
+      val hubRaw = nodeIds.join(
+          e.join(auths, e("dst") === auths("node_id"))
+            .groupBy(col("src")).agg(sum(col("auth")).as("raw")),
+          col("node_id") === col("src"), "left")
+        .select(col("node_id"), coalesce(col("raw"), lit(0L)).as("hub"))
+      hubs = renorm(hubRaw, "hub")
+      if (k % checkpointEvery == 0 && k < iters) hubs = hubs.localCheckpoint()
+      // the final auths of the last round are what we report alongside
+      if (k == iters) {
+        return hubs.join(auths, "node_id")
+          .select(col("node_id"), col("hub"), col("auth"))
+      }
+    }
+    hubs
+  }
 }

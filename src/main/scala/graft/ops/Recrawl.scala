@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recrawl scheduling (SURVEY §2.10 T44) — the freshness side of a
+  * production crawler. The reference crawls each URL once; a continuous
+  * crawl must decide WHICH already-fetched pages to refetch, and the
+  * classic policy (Cho & Garcia-Molina, "Effective Page Refresh
+  * Policies") prioritizes by estimated change rate x staleness: a page
+  * observed to change often AND not fetched recently outranks both
+  * stable pages and just-fetched ones.
+  */
+object Recrawl {
+
+  /** Per-page change-rate estimate + refresh priority from a fetch
+    * history `(id, ts, obs)`: `obs` is the per-fetch content observation
+    * (digest/fingerprint value); a "change" is `obs != previous obs` in
+    * per-page fetch order.
+    *
+    *   change_rate = scale * n_changes div n_intervals   (fixed-point)
+    *   age_s       = corpus max fetch time - page's last fetch, seconds
+    *   priority    = change_rate * age_s
+    *
+    * All arithmetic is integer (epoch microseconds div 1e6; quantized
+    * rate), so the ranking is bit-identical across engines and row
+    * orders. Overflow: rate <= scale (10^6) and age_s < 2^31 for any
+    * real corpus, so priority < 2^51.
+    *
+    * Scale shape: ONE shuffle on the page id serves both the lag window
+    * (per-page fetch order is a per-key sort inside its hash partition,
+    * never a global sort) and the groupBy that follows it — Catalyst
+    * reuses the window's hash partitioning for the aggregation. The
+    * corpus-max timestamp is a 1-row agg crossJoined back (broadcast,
+    * no driver action). Skew note: pages are the key, fetch history per
+    * page is politeness-bounded (a page cannot be fetched more often
+    * than its host budget allows), so per-key cardinality is capped and
+    * the window cannot hot-spot.
+    */
+  def priority(history: DataFrame, id: String = "user_id",
+               ts: String = "ts", obs: String = "value",
+               tiebreak: String = "event_id",
+               scale: Long = 1000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col(ts), col(tiebreak))
+    val flagged = history.select(
+        col(id), col(ts), col(obs), col(tiebreak))
+      .withColumn("changed",
+        when(lag(col(obs), 1).over(w).isNull, 0L)
+          .when(col(obs) =!= lag(col(obs), 1).over(w), 1L)
+          .otherwise(0L))
+    val perPage = flagged.groupBy(col(id))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(col("changed")).as("n_changes"),
+        // tz-free epoch micros: the input is TIMESTAMP_NTZ (parquet µs),
+        // and unix_micros would route it through the session timezone —
+        // a DST-shifting tz could then warp intervals. timestampdiff
+        // from the NTZ epoch matches DuckDB's epoch_us exactly.
+        max(expr(
+          s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
+            s" CAST($ts AS TIMESTAMP_NTZ))")).as("last_us"))
+    val corpusMax = perPage.agg(max(col("last_us")).as("max_us"))
+    perPage.crossJoin(broadcast(corpusMax))
+      .select(col(id),
+        col("n_fetches"),
+        col("n_changes"),
+        when(col("n_fetches") > 1,
+          expr(s"$scale * n_changes div (n_fetches - 1)")).otherwise(0L)
+          .as("change_rate"),
+        expr("(max_us - last_us) div 1000000").as("age_s"))
+      .withColumn("priority", col("change_rate") * col("age_s"))
+  }
+}

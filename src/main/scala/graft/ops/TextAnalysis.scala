@@ -337,4 +337,53 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col(id))).as("rank"),
         col(id), col("score"))
   }
+
+  /** tf-idf-weighted similar-document pairs via a posting-list
+    * self-join (SURVEY §2.10 T42) — the sparse-retrieval complement to
+    * the dense ANN ops: "find documents that share rare vocabulary",
+    * the classic related-page / near-topic signal a crawl corpus feeds
+    * to clustering and dedup triage.
+    *
+    * Weights are integer-quantized for engine-exact results: token
+    * weight `w(t,d) = tf * (scale div df_t)` (a 1/df inverse-document-
+    * frequency, quantized by integer division — a float `ln(N/df)` idf
+    * would be order-dependent under distributed summation), pair score
+    * `sum_t w(t,a) * w(t,b)` over shared tokens.
+    *
+    * Scale shape: the candidate generator is a token-keyed equi-join —
+    * never all-pairs. `maxDf` caps each token's contribution at
+    * `maxDf^2` pairs (the df-cut every sparse-retrieval system applies:
+    * high-df tokens carry no signal AND dominate join fan-out, so the
+    * cap is both a quality and a shuffle bound; at 100 TB it is the
+    * one knob that keeps the join linear in corpus size). The weighted
+    * posting table is materialized once (localCheckpoint — a persisted
+    * table on a real cluster) so the self-join's two sides reuse one
+    * tokenize+aggregate pass instead of recomputing it per side (the
+    * q21 lesson, VERDICT r1).
+    *
+    * Overflow bound: w <= tf_max * scale/2, so scores stay in int64
+    * while tf_max^2 * scale^2 / 4 * shared_tokens < 2^63 — at the
+    * default scale 10^4 that allows tf ~ 10^3 with 10^4 shared tokens. */
+  def tfidfSimilarPairs(df: DataFrame, id: String, text: String,
+                        maxDf: Long = 50, scale: Long = 10000L,
+                        minScore: Long = 1L): DataFrame = {
+    val postings = tokenize(df, id, text)
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      // df=1 tokens pair with nothing; dropping them BEFORE the join
+      // removes the long unique-token tail (most of a web corpus)
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val w = postings.join(dfreq, "token")
+      .select(col("token"), col(id).as("doc"),
+        (col("tf") * expr(s"$scale div df")).as("w"))
+      .localCheckpoint()
+    val a = w.select(col("token"), col("doc").as("doc_a"), col("w").as("wa"))
+    val b = w.select(col("token"), col("doc").as("doc_b"), col("w").as("wb"))
+    a.join(b, "token")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("wa") * col("wb")).as("score"))
+      .filter(col("score") >= minScore)
+  }
 }

@@ -11,17 +11,33 @@ import Tables._
   * the authority score a production frontier prioritizes by. */
 object GraphQueries {
 
-  /** q74: 5 damped rounds, integer fixed-point (see ops/Graph). */
-  def q74PageRank(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val n = docs.count()
-    val edges = docs.select(col("doc_id"))
+  /** Deterministic synthetic link graph over `documents` (doc d links
+    * to 1 + d%3 targets drawn by an LCG-style integer hash, self-loops
+    * displaced to the next id) — shared by q74 (PageRank) and q85
+    * (HITS) so both scores describe the same graph. */
+  private def syntheticEdges(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id"))
       .withColumn("c", explode(sequence(lit(0L), col("doc_id") % 3L)))
       .select(col("doc_id").as("src"),
         ((col("doc_id") * 48271L + (col("c") + 1L) * 1013904223L) % n).as("t0"))
       .select(col("src"),
         when(col("t0") === col("src"), (col("t0") + 1L) % n)
           .otherwise(col("t0")).as("dst"))
+
+  private val edgesSqlCte: String =
+    """edges AS (
+      | SELECT src, CASE WHEN t0 = src THEN (t0 + 1) % (SELECT n FROM nn) ELSE t0 END AS dst
+      | FROM (
+      |  SELECT d.doc_id AS src,
+      |   ((d.doc_id * 48271 + (t.c + 1) * 1013904223) % (SELECT n FROM nn)) AS t0
+      |  FROM documents d, range(3) t(c)
+      |  WHERE t.c < 1 + d.doc_id % 3))""".stripMargin
+
+  /** q74: 5 damped rounds, integer fixed-point (see ops/Graph). */
+  def q74PageRank(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val n = docs.count()
+    val edges = syntheticEdges(docs, n)
     // n was already counted above (a zero-column parquet count) — pass it
     // through so pageRank doesn't run a second count job over the nodes
     Graph.pageRank(docs.select("doc_id"), edges, "doc_id", nKnown = Some(n))
@@ -33,13 +49,7 @@ object GraphQueries {
     val S = "1000000000000"
     val head =
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-         |edges AS (
-         | SELECT src, CASE WHEN t0 = src THEN (t0 + 1) % (SELECT n FROM nn) ELSE t0 END AS dst
-         | FROM (
-         |  SELECT d.doc_id AS src,
-         |   ((d.doc_id * 48271 + (t.c + 1) * 1013904223) % (SELECT n FROM nn)) AS t0
-         |  FROM documents d, range(3) t(c)
-         |  WHERE t.c < 1 + d.doc_id % 3)),
+         |$edgesSqlCte,
          |od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
          |r0 AS (SELECT doc_id, ($S // (SELECT n FROM nn)) AS rank FROM documents)""".stripMargin
     val rounds = (1 to 5).map { k =>
@@ -54,5 +64,46 @@ object GraphQueries {
          |  GROUP BY e.dst) s ON s.doc_id = d.doc_id)""".stripMargin
     }.mkString
     head + rounds + "\nSELECT doc_id, rank AS pagerank FROM r5 ORDER BY doc_id"
+  }
+
+  /** q85 (T43): HITS hubs & authorities over the same link graph —
+    * 3 rounds, max-renormalized integer fixed-point (see ops/Graph). */
+  def q85Hits(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val n = docs.count()
+    Graph.hits(docs.select("doc_id"), syntheticEdges(docs, n), "doc_id")
+      .select(col("node_id").as("doc_id"), col("hub"), col("auth"))
+      .orderBy("doc_id")
+  }
+
+  val q85Sql: String = {
+    val S = "1000000"
+    val head =
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |$edgesSqlCte,
+         |h0 AS (SELECT doc_id, CAST($S AS BIGINT) AS hub FROM documents)""".stripMargin
+    val rounds = (1 to 3).map { k =>
+      s""",
+         |a${k}r AS (
+         | SELECT d.doc_id, COALESCE(s.m, 0) AS raw
+         | FROM documents d LEFT JOIN (
+         |  SELECT e.dst AS doc_id, sum(h.hub) AS m
+         |  FROM edges e JOIN h${k - 1} h ON h.doc_id = e.src
+         |  GROUP BY e.dst) s ON s.doc_id = d.doc_id),
+         |a$k AS (
+         | SELECT doc_id, CAST(raw * $S // (SELECT max(raw) FROM a${k}r) AS BIGINT) AS auth
+         | FROM a${k}r),
+         |h${k}r AS (
+         | SELECT d.doc_id, COALESCE(s.m, 0) AS raw
+         | FROM documents d LEFT JOIN (
+         |  SELECT e.src AS doc_id, sum(a.auth) AS m
+         |  FROM edges e JOIN a$k a ON a.doc_id = e.dst
+         |  GROUP BY e.src) s ON s.doc_id = d.doc_id),
+         |h$k AS (
+         | SELECT doc_id, CAST(raw * $S // (SELECT max(raw) FROM h${k}r) AS BIGINT) AS hub
+         | FROM h${k}r)""".stripMargin
+    }.mkString
+    head + rounds +
+      "\nSELECT h.doc_id, h.hub, a.auth FROM h3 h JOIN a3 a ON a.doc_id = h.doc_id ORDER BY h.doc_id"
   }
 }

@@ -423,4 +423,28 @@ object TextQueries {
       |   < floor(c.p_accept * 1000000), false) AS kept
       |FROM documents d LEFT JOIN cent c ON c.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q84 (T42): tf-idf similar-document pairs — sparse-retrieval
+    * complement to the dense ANN queries. Quantized-integer weights,
+    * df-capped posting self-join (see ops/TextAnalysis Scaladoc). */
+  def q84TfidfPairs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfSimilarPairs(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val q84Sql: String =
+    """WITH postings AS (
+      | SELECT doc_id, token, count(*) AS tf FROM (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS token
+      |  FROM documents) GROUP BY doc_id, token),
+      |dfreq AS (
+      | SELECT token, count(*) AS df FROM postings
+      | GROUP BY token HAVING count(*) BETWEEN 2 AND 50),
+      |w AS (
+      | SELECT p.token, p.doc_id AS doc, p.tf * (10000 // d.df) AS w
+      | FROM postings p JOIN dfreq d USING (token))
+      |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared,
+      | CAST(sum(a.w * b.w) AS BIGINT) AS score
+      |FROM w a JOIN w b ON a.token = b.token AND a.doc < b.doc
+      |GROUP BY 1, 2 HAVING CAST(sum(a.w * b.w) AS BIGINT) >= 1
+      |ORDER BY 1, 2""".stripMargin
 }

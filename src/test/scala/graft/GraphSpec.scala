@@ -74,4 +74,60 @@ class GraphSpec extends AnyFunSuite {
     // each node loses < 2 units per round to integral division
     assert(mass <= scale && mass >= scale - 2L * n * iters - n)
   }
+
+  // ---- HITS (T43) ----
+
+  /** Sequential HITS reference: identical quantized recurrence
+    * (per-round max renormalization, integral division). */
+  private def refHits(n: Int, edges: Seq[(Long, Long)], iters: Int,
+                      scale: Long): Map[Long, (Long, Long)] = {
+    var hub = (0 until n).map(i => i.toLong -> scale).toMap
+    var auth = Map[Long, Long]()
+    for (_ <- 1 to iters) {
+      val ar = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) ar(d) += hub(s)
+      val maxA = (0 until n).map(i => ar(i.toLong)).max
+      auth = (0 until n).map(i => i.toLong -> ar(i.toLong) * scale / maxA).toMap
+      val hr = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) hr(s) += auth(d)
+      val maxH = (0 until n).map(i => hr(i.toLong)).max
+      hub = (0 until n).map(i => i.toLong -> hr(i.toLong) * scale / maxH).toMap
+    }
+    (0 until n).map(i => i.toLong -> (hub(i.toLong), auth(i.toLong))).toMap
+  }
+
+  private def runHits(n: Int, edges: Seq[(Long, Long)],
+                      iters: Int = 3): Map[Long, (Long, Long)] = {
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val e = edges.toDF("src", "dst")
+    Graph.hits(nodes, e, "id", iters = iters)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, h, a) => id -> (h, a) }.toMap
+  }
+
+  test("hits: bipartite hub/authority split matches the reference") {
+    // hubs {0,1} -> authorities {2,3}; 2 has both in-links, 3 only one;
+    // 2,3 link back weakly so every score stays defined
+    val edges = Seq((0L, 2L), (0L, 3L), (1L, 2L), (2L, 0L), (3L, 0L))
+    val got = runHits(4, edges)
+    assert(got == refHits(4, edges, 3, 1000000L))
+    val (h0, a0) = got(0L); val (h1, _) = got(1L)
+    val (_, a2) = got(2L);  val (h3, a3) = got(3L)
+    assert(a2 > a3)           // two in-links from hubs beat one
+    assert(h0 > h1)           // 0 links to both authorities, 1 to one
+    assert(h0 > h3 && a0 > 0) // back-links give 2,3 some hub mass
+  }
+
+  test("hits: deeper iters cross the checkpoint boundary and still match") {
+    val rnd = new scala.util.Random(11)
+    val n = 30
+    val edges = (0 until n).flatMap { i =>
+      (0 to rnd.nextInt(3)).map(_ => (i.toLong, rnd.nextInt(n).toLong))
+    }.map { case (s, d) => if (s == d) (s, (d + 1) % n) else (s, d) }
+    val got = runHits(n, edges, iters = 5)
+    assert(got == refHits(n, edges, 5, 1000000L))
+    // renormalization keeps the max at exactly `scale` each round
+    assert(got.values.map(_._1).max == 1000000L)
+    assert(got.values.map(_._2).max == 1000000L)
+  }
 }

@@ -22,6 +22,14 @@
 CP=$(cat /tmp/cp.txt)
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 PROBE_FLOORS=/tmp/legloop5_probe_floors.tsv
+# floor/pair ledger shared with graft.Bench — repo-committed so banked
+# cross-run minima survive sandbox restarts (SPARK_GRAFT_BENCH_LEDGER
+# overrides, matching the Scala side)
+LEDGER=${SPARK_GRAFT_BENCH_LEDGER:-bench_ledger}
+mkdir -p "$LEDGER"
+BEST="$LEDGER/graft_bench_best_shm_drain.tsv"
+PAIRS="$LEDGER/graft_bench_pairs_shm_drain.tsv"
+export GRAFT_BEST_LEDGER="$BEST"
 
 idlest() {
   local n=$1
@@ -39,7 +47,8 @@ merge_best() {
   python3 - "$1" "$2" <<'EOF'
 import sys
 key, val = sys.argv[1], float(sys.argv[2])
-p = "/tmp/graft_bench_best_shm_drain.tsv"
+import os
+p = os.environ.get("GRAFT_BEST_LEDGER", "bench_ledger/graft_bench_best_shm_drain.tsv")
 d = {}
 try:
     for line in open(p):
@@ -114,7 +123,7 @@ run_leg() { # run_leg <cores>; sets S W (leg secs / warmup secs), returns 1 on p
 }
 
 wfloor() { # current warmup floor for core count $1
-  awk -v k="w$1" -F'\t' '$1==k{print $2}' /tmp/graft_bench_best_shm_drain.tsv
+  awk -v k="w$1" -F'\t' '$1==k{print $2}' "$BEST"
 }
 
 # Gated pass structure: (1) cheap ALU/bw pre-gate skips obviously-noisy
@@ -148,7 +157,7 @@ for i in $(seq 1 "$PASSES"); do
   sleep 8
   S=""; W=""
   if run_leg 1; then
-    printf "100000\t%.3f\t%.3f\t%.3f\t%.3f\n" "$S" "$W" "$s4" "$w4" >> /tmp/graft_bench_pairs_shm_drain.tsv
+    printf "100000\t%.3f\t%.3f\t%.3f\t%.3f\n" "$S" "$W" "$s4" "$w4" >> "$PAIRS"
     echo "$(date +%H:%M:%S) pair banked: s1=$S w1=$W s4=$s4 w4=$w4" >> /tmp/legloop5.log
   fi
   sleep 8
