@@ -344,10 +344,19 @@ object Bench {
   /** (median efficiency, count) over the persisted same-window leg pairs
     * for `pages`, keeping only pairs whose warmups sit within the
     * clean-leg threshold (1.25×) of the current warmup floors `wbN`/
-    * `wb4`. File lines: pages\tsN\twN\ts4N\tw4N. Returns (-1, 0) when no
+    * `wb4` AND — when drain floors `sbN`/`sb4` are known — whose drains
+    * sit within 1.30× of those floors, the same two-sided rule `runLeg`
+    * applies in-run. The drain gate matters because the warmup precedes
+    * the drain by ~10-80 s: a noise burst arriving mid-drain banks a
+    * pair whose warmups look quiet but whose ratio measured the host,
+    * not the engine (observed: 27 s 4-core drains alongside 87 s ones
+    * behind near-identical warmups). Floors only ever decrease, so the
+    * gate tightens monotonically as quieter windows are observed.
+    * File lines: pages\tsN\twN\ts4N\tw4N. Returns (-1, 0) when no
     * clean pair exists or the file is unreadable. */
   private[graft] def pairStats(file: java.nio.file.Path, pages: Long,
-                               wbN: Double, wb4: Double): (Double, Int) = try {
+                               wbN: Double, wb4: Double,
+                               sbN: Double = -1.0, sb4: Double = -1.0): (Double, Int) = try {
     val all = if (java.nio.file.Files.exists(file))
       new String(java.nio.file.Files.readAllBytes(file), "UTF-8")
         .linesIterator.map(_.split("\t"))
@@ -360,8 +369,9 @@ object Bench {
         }.toOption)
         .toSeq
     else Seq.empty
-    val clean = all.filter { case (_, wN, _, w4) =>
-      wbN > 0 && wb4 > 0 && wN <= 1.25 * wbN && w4 <= 1.25 * wb4 }
+    val clean = all.filter { case (sN, wN, s4, w4) =>
+      wbN > 0 && wb4 > 0 && wN <= 1.25 * wbN && w4 <= 1.25 * wb4 &&
+        (sbN <= 0 || sN <= 1.30 * sbN) && (sb4 <= 0 || s4 <= 1.30 * sb4) }
     val effs = clean.map { case (sN, _, s4c, _) => (sN / s4c) / 4.0 }.sorted
     if (effs.isEmpty) (-1.0, 0) else (effs(effs.size / 2), effs.size)
   } catch { case _: Exception => (-1.0, 0) }
@@ -375,7 +385,10 @@ object Bench {
     "q73_image_dup_clusters", "q77_asof_join",
     // round-2 closers: the caption-hash aggregate (q79) and the
     // cross-modal bucket probe (q83) are the newest heavy shapes
-    "q79_clip_align", "q83_crossmodal")
+    "q79_clip_align", "q83_crossmodal",
+    // the df-capped posting self-join (q84) is the heaviest sparse-
+    // retrieval shape — tracked for the same regression reason as q21
+    "q84_tfidf_pairs")
 
   def main(args: Array[String]): Unit = {
     // subprocess leg mode: --crawl <cores> <pages> <preSeeded>
@@ -563,9 +576,10 @@ object Bench {
     val s4NBest = math.min(s4, bests.getOrElse(s"l$n4Cores:$crawlPages", s4))
     val effBest = ((crawlPages / s4NBest) / (crawlPages / sNBest)) / 4.0
     // median efficiency over persisted same-window pairs whose warmups
-    // land within the clean threshold of the current warmup floors
+    // AND drains land within the clean thresholds of the current floors
     val (pairMedian, nCleanPairs) =
-      pairStats(pairsFile, crawlPages, warmBest(nCores), warmBest(n4Cores))
+      pairStats(pairsFile, crawlPages, warmBest(nCores), warmBest(n4Cores),
+        sNBest, s4NBest)
     def legsJson(xs: Seq[Double]): String = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
 
     // 3) end-to-end BFS expansion loop at 4N (seed -> discover -> drain)

@@ -31,11 +31,14 @@ object Recrawl {
     * (per-page fetch order is a per-key sort inside its hash partition,
     * never a global sort) and the groupBy that follows it — Catalyst
     * reuses the window's hash partitioning for the aggregation. The
-    * corpus-max timestamp is a 1-row agg crossJoined back (broadcast,
-    * no driver action). Skew note: pages are the key, fetch history per
-    * page is politeness-bounded (a page cannot be fetched more often
-    * than its host budget allows), so per-key cardinality is capped and
-    * the window cannot hot-spot.
+    * corpus-max timestamp is derived from the RAW history (max of
+    * per-page maxes = global max), a partial-agg scan that collapses to
+    * 1 row and crossJoins back as a broadcast — deriving it from the
+    * per-page table would inline the window+agg subtree a second time
+    * (the q21 recompute class). Skew note: pages are the key, fetch
+    * history per page is politeness-bounded (a page cannot be fetched
+    * more often than its host budget allows), so per-key cardinality is
+    * capped and the window cannot hot-spot.
     */
   def priority(history: DataFrame, id: String = "user_id",
                ts: String = "ts", obs: String = "value",
@@ -43,6 +46,13 @@ object Recrawl {
                scale: Long = 1000000L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id)).orderBy(col(ts), col(tiebreak))
+    // tz-free epoch micros: the input is TIMESTAMP_NTZ (parquet µs), and
+    // unix_micros would route it through the session timezone — a
+    // DST-shifting tz could then warp intervals. timestampdiff from the
+    // NTZ epoch matches DuckDB's epoch_us exactly.
+    val epochUs = expr(
+      s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
+        s" CAST($ts AS TIMESTAMP_NTZ))")
     val flagged = history.select(
         col(id), col(ts), col(obs), col(tiebreak))
       .withColumn("changed",
@@ -52,14 +62,8 @@ object Recrawl {
     val perPage = flagged.groupBy(col(id))
       .agg(count(lit(1)).as("n_fetches"),
         sum(col("changed")).as("n_changes"),
-        // tz-free epoch micros: the input is TIMESTAMP_NTZ (parquet µs),
-        // and unix_micros would route it through the session timezone —
-        // a DST-shifting tz could then warp intervals. timestampdiff
-        // from the NTZ epoch matches DuckDB's epoch_us exactly.
-        max(expr(
-          s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
-            s" CAST($ts AS TIMESTAMP_NTZ))")).as("last_us"))
-    val corpusMax = perPage.agg(max(col("last_us")).as("max_us"))
+        max(epochUs).as("last_us"))
+    val corpusMax = history.agg(max(epochUs).as("max_us"))
     perPage.crossJoin(broadcast(corpusMax))
       .select(col(id),
         col("n_fetches"),

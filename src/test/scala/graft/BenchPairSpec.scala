@@ -28,6 +28,23 @@ class BenchPairSpec extends AnyFunSuite {
     }
   }
 
+  test("drain floors gate pairs whose warmups were quiet but drains were not") {
+    // a noise burst arriving AFTER the warmup inflates the drain only:
+    // with drain floors supplied, such pairs must not count
+    val lines = Seq(
+      "100000\t80.000\t21.0\t25.000\t11.0",  // clean: eff 0.80
+      "100000\t81.000\t21.0\t87.000\t11.0",  // quiet warmups, 4N drain 3.5x floor
+      "100000\t140.000\t21.0\t25.000\t11.0") // quiet warmups, N drain 1.75x floor
+    withFile(lines) { p =>
+      // without drain floors all three count (legacy behavior)
+      assert(Bench.pairStats(p, 100000L, 20.0, 10.0)._2 == 3)
+      val (med, n) = Bench.pairStats(p, 100000L, 20.0, 10.0,
+        sbN = 80.0, sb4 = 25.0)
+      assert(n == 1)
+      assert(math.abs(med - 0.80) < 1e-9)
+    }
+  }
+
   test("one dirty side disqualifies the pair") {
     val lines = Seq("100000\t80.000\t21.0\t25.000\t14.0") // 4N warmup 40% over
     withFile(lines) { p =>

@@ -275,6 +275,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q82 calibration window not partitioned by source:\n${p.take(2000)}")
   }
 
+  test("q84: tf-idf posting self-join reads the materialized weights, not the corpus") {
+    // tfidfSimilarPairs localCheckpoints the weighted posting table
+    // before the self-join — an inlined plan would run the tokenize +
+    // two aggregations once per join side (the q21 recompute class)
+    val p = plan("q84_tfidf_pairs")
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      s"q84 re-scans the corpus:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q84 pair join is not a token equi-join:\n${p.take(2000)}")
+  }
+
+  test("q85: HITS rounds renormalize via broadcast, never a driver action or cartesian blowup") {
+    // the per-round max is a 1-row agg crossJoined back: it must plan as
+    // a broadcast nested-loop over ONE row, and the score/edge joins as
+    // hash joins — any CartesianProduct means a round degenerated
+    val p = plan("q85_hits")
+    assert(!p.contains("CartesianProduct"),
+      s"q85 has a cartesian stage:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q85 renormalize lost its broadcast shape:\n${p.take(2000)}")
+  }
+
+  test("q86: recrawl lag-window partitioning is reused by the aggregation") {
+    // one page-keyed shuffle serves both the per-page fetch-order window
+    // and the groupBy that follows: exactly one exchange hashes on the
+    // page id (plus the 1-row corpus-max broadcast, which adds none)
+    val p = plan("q86_recrawl")
+    val pageHashes = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(pageHashes >= 1, s"q86 lost its page-keyed shuffle:\n${p.take(2000)}")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"q86 shuffles on the page id $exchanges times (window partitioning not reused):\n${p.take(2000)}")
+  }
+
   test("crawl seen-probe: native might_contain, no Scala UDF filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
