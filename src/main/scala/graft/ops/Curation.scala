@@ -217,4 +217,37 @@ object Curation {
       .select(col(source), col("n_docs"), col("n_tokens"),
         round(pow(col("n_tokens").cast("double"), alpha) / col("z"), 6).as("mix_weight"))
   }
+
+  /**
+   * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES) in
+   * exact integer form: each row gets the MAX of `weight` independent
+   * uniform hash draws as its key, and the global top-k keys are the
+   * sample. max of w uniforms ~ U^(1/w), which is exactly the E-S key,
+   * so inclusion probabilities match sequential weighted draws without
+   * replacement — but with integer hashes instead of floats, the
+   * ranking is bit-reproducible across engines, partitionings and row
+   * orders (no pow/ln ulp divergence). Weights must be small positive
+   * ints (each row explodes into `weight` replicas; the draw count is
+   * Σw, so cap weights ≤ ~64 and rescale upstream — at that cap the
+   * explode is map-side only and never materializes through a shuffle).
+   *
+   * Scale shape: explode → per-id partial MAX combines map-side, ONE
+   * shuffle on the id carries one row per id, and the top-k plans as
+   * TakeOrderedAndProject (per-partition heaps, never a full sort).
+   * Ties are broken by id so LIMIT is total-order deterministic.
+   */
+  def weightedSample(df: DataFrame, id: String, weight: Column, k: Int,
+                     salt: String = "es"): DataFrame = {
+    val w = greatest(lit(1L), weight.cast("long"))
+    df.select(col(id), w.as("weight"))
+      .withColumn("r", explode(sequence(lit(1L), col("weight"))))
+      .withColumn("u",
+        conv(substring(md5(concat(col(id).cast("string"), lit(":"),
+          col("r").cast("string"), lit(":" + salt)).cast("binary")), 1, 8),
+          16, 10).cast("long"))
+      .groupBy(col(id))
+      .agg(max(col("weight")).as("weight"), max(col("u")).as("es_key"))
+      .orderBy(col("es_key").desc, col(id))
+      .limit(k)
+  }
 }

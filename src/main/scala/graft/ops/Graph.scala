@@ -121,4 +121,35 @@ object Graph {
     }
     hubs
   }
+
+  /** Anchor-text aggregation: the classic web-search relevance signal
+    * (anchor words of in-links describe the TARGET page better than its
+    * own text — Brin & Page §2.2). Input is an anchored edge table
+    * (`dst`, `anchor`); output is one row per target: total in-link
+    * count plus the most frequent anchor term (ties broken by the
+    * lexicographically smallest anchor, so the result is total-order
+    * deterministic).
+    *
+    * Scale shape: two shuffles — a (dst, anchor) hash-agg with map-side
+    * partial counts (the explode-heavy side never crosses the wire raw),
+    * then one dst-keyed exchange that serves BOTH window functions (the
+    * in-link sum and the frequency rank share the partition key, so
+    * Catalyst plans them over a single exchange). Skew: anchors of a
+    * hot page all land in one partition — bounded, because the first
+    * agg already collapsed them to distinct-anchor counts (a 10^6-inlink
+    * page with 10^2 distinct anchors is 10^2 rows here). */
+  def anchorSummary(edges: DataFrame, dst: String = "dst",
+                    anchor: String = "anchor"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = edges.filter(col(anchor).isNotNull)
+      .groupBy(col(dst), col(anchor)).agg(count(lit(1)).as("cnt"))
+    val byDst = Window.partitionBy(col(dst))
+    counts
+      .withColumn("n_inlinks", sum(col("cnt")).over(byDst))
+      .withColumn("rk", row_number().over(
+        byDst.orderBy(col("cnt").desc, col(anchor))))
+      .filter(col("rk") === 1)
+      .select(col(dst), col("n_inlinks"),
+        col(anchor).as("top_anchor"), col("cnt").as("top_anchor_count"))
+  }
 }

@@ -315,4 +315,25 @@ object CurationQueries {
       |SELECT source, count(*) AS n_images, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM cal WHERE pctl >= 0.1
       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** q87 (T45): Efraimidis–Spirakis weighted sampling without
+    * replacement, exact integer form (see ops/Curation.weightedSample).
+    * Weight = length bucket (1 + n_chars div 256, capped at 8): longer
+    * documents are preferentially sampled, a real curation choice. */
+  def q87WeightedSample(s: SparkSession, d: String): DataFrame =
+    Curation.weightedSample(Tables.documents(s, d), "doc_id",
+      expr("least(1 + n_chars div 256, 8)"), 100)
+
+  val q87Sql: String =
+    """WITH reps AS (
+      | SELECT doc_id, LEAST(1 + n_chars // 256, 8) AS weight, t.c + 1 AS r
+      | FROM documents d, range(8) t(c)
+      | WHERE t.c < LEAST(1 + n_chars // 256, 8)),
+      |keyed AS (
+      | SELECT doc_id, weight,
+      |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':es'), 1, 8)) AS BIGINT) AS u
+      | FROM reps),
+      |agg AS (SELECT doc_id, max(weight) AS weight, max(u) AS es_key FROM keyed GROUP BY 1)
+      |SELECT doc_id, weight, es_key FROM agg
+      |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
 }

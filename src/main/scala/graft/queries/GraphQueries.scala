@@ -106,4 +106,61 @@ object GraphQueries {
     head + rounds +
       "\nSELECT h.doc_id, h.hub, a.auth FROM h3 h JOIN a3 a ON a.doc_id = h.doc_id ORDER BY h.doc_id"
   }
+
+  /** The q74/q85 link graph with an anchor term on each edge: the
+    * anchor is a deterministic token drawn from the SOURCE page's text
+    * (position (src*7 + link ordinal) mod token count — link extraction
+    * in the reference yields the `<a>` text the same way, a substring
+    * of the fetched page). Computed in the same single pass that
+    * generates the edges, so no join back to `documents` is needed. */
+  private def anchoredEdges(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.tokensCol(col("text")).as("toks"))
+      .withColumn("c", explode(sequence(lit(0L), col("doc_id") % 3L)))
+      .select(col("doc_id").as("src"), col("c"), col("toks"),
+        ((col("doc_id") * 48271L + (col("c") + 1L) * 1013904223L) % n).as("t0"))
+      .select(col("src"),
+        when(col("t0") === col("src"), (col("t0") + 1L) % n)
+          .otherwise(col("t0")).as("dst"),
+        when(size(col("toks")) > 0,
+          element_at(col("toks"),
+            ((col("src") * 7L + col("c")) % size(col("toks"))).cast("int") + 1))
+          .as("anchor"))
+
+  /** q88 (T46): anchor-text aggregation — per target page, in-link
+    * count and the most frequent anchor term (see ops/Graph). */
+  def q88AnchorText(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val n = docs.count()
+    Graph.anchorSummary(anchoredEdges(docs, n))
+      .withColumnRenamed("dst", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q88Sql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |tk AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS toks
+      | FROM documents),
+      |e AS (
+      | SELECT src, CASE WHEN t0 = src THEN (t0 + 1) % (SELECT n FROM nn) ELSE t0 END AS dst, anchor
+      | FROM (
+      |  SELECT d.doc_id AS src,
+      |   ((d.doc_id * 48271 + (t.c + 1) * 1013904223) % (SELECT n FROM nn)) AS t0,
+      |   CASE WHEN len(d.toks) > 0
+      |        THEN d.toks[CAST((d.doc_id * 7 + t.c) % len(d.toks) AS INT) + 1] END AS anchor
+      |  FROM tk d, range(3) t(c)
+      |  WHERE t.c < 1 + d.doc_id % 3)),
+      |cnts AS (
+      | SELECT dst, anchor, count(*) AS cnt FROM e
+      | WHERE anchor IS NOT NULL GROUP BY 1, 2),
+      |ranked AS (
+      | SELECT dst, anchor, cnt,
+      |  sum(cnt) OVER (PARTITION BY dst) AS n_inlinks,
+      |  row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rk
+      | FROM cnts)
+      |SELECT dst AS doc_id, CAST(n_inlinks AS BIGINT) AS n_inlinks,
+      | anchor AS top_anchor, cnt AS top_anchor_count
+      |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
 }

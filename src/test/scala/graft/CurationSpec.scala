@@ -363,4 +363,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got.map(r => (r._2, r._3)).toSeq == Seq((1, 100L), (2, 102L)))
     got.foreach(r => assert(math.abs(r._4 - 1.0) < 1e-9))
   }
+
+  /** Sequential reference for the E-S key: same md5-draw arithmetic. */
+  private def esKey(id: Long, w: Long, salt: String = "es"): Long =
+    (1L to w).map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:$r:$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }.max
+
+  test("weightedSample: exact E-S ranking matches the sequential md5 reference") {
+    val rows = (0L until 40L).map(i => (i, 1L + i % 5))
+    val got = Curation.weightedSample(rows.toDF("id", "w"), "id", col("w"), 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = rows.map { case (id, w) => (id, w, esKey(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(10)
+    assert(got == want)
+  }
+
+  test("weightedSample: non-positive weights clamp to one draw; k > n returns all") {
+    val got = Curation.weightedSample(
+        Seq((1L, 0L), (2L, -3L), (3L, 2L)).toDF("id", "w"), "id", col("w"), 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 3)
+    // clamped rows get exactly the single-draw key; weight reports the clamp
+    assert(got.find(_._1 == 1L).get == ((1L, 1L, esKey(1L, 1L))))
+    assert(got.find(_._1 == 2L).get == ((2L, 1L, esKey(2L, 1L))))
+    assert(got.find(_._1 == 3L).get == ((3L, 2L, esKey(3L, 2L))))
+  }
 }

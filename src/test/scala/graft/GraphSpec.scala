@@ -130,4 +130,19 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.map(_._1).max == 1000000L)
     assert(got.values.map(_._2).max == 1000000L)
   }
+
+  test("anchorSummary: top anchor by count, ties to smallest term, nulls dropped") {
+    val edges = Seq(
+      (1L, 10L, "alpha"), (2L, 10L, "beta"), (3L, 10L, "alpha"),
+      (4L, 11L, "beta"), (5L, 11L, "alpha"), // tie at 1 each -> "alpha"
+      (6L, 12L, null.asInstanceOf[String]), (7L, 12L, "gamma"))
+      .toDF("src", "dst", "anchor")
+    val got = Graph.anchorSummary(edges)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    // null-anchor links carry no anchor signal: dst 12 counts 1, not 2
+    assert(got == Seq(
+      (10L, 3L, "alpha", 2L),
+      (11L, 2L, "alpha", 1L),
+      (12L, 1L, "gamma", 1L)))
+  }
 }

@@ -309,6 +309,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q86 shuffles on the page id $exchanges times (window partitioning not reused):\n${p.take(2000)}")
   }
 
+  test("q87: weighted sample is one id-keyed shuffle feeding a top-k heap") {
+    // explode -> map-side partial MAX -> ONE exchange on the id -> final
+    // agg -> TakeOrderedAndProject; a full Sort would spill the corpus
+    val p = plan("q87_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q87 top-k fell back to a full sort:\n${p.take(2000)}")
+    val exchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"q87 shuffles on the id $exchanges times:\n${p.take(2000)}")
+  }
+
+  test("q88: anchor aggregation is two keyed shuffles, both windows share one") {
+    // hash-agg on (dst, anchor) with partial counts, then ONE dst-keyed
+    // exchange serving BOTH window functions (in-link sum + rank), plus
+    // the final presentation range exchange — never a cartesian
+    val p = plan("q88_anchor_text")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q88 degenerated to an unkeyed join:\n${p.take(2000)}")
+    val exchanges = "Exchange hashpartitioning\\(dst".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"q88 hashes on dst $exchanges times (windows not sharing):\n${p.take(2000)}")
+  }
+
   test("crawl seen-probe: native might_contain, no Scala UDF filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
