@@ -45,6 +45,18 @@ class BenchPairSpec extends AnyFunSuite {
     }
   }
 
+  test("drain gate is 1.15x: a 20%-over drain is excluded, 10%-over kept") {
+    val lines = Seq(
+      "100000\t80.000\t21.0\t27.500\t11.0",  // 4N drain 1.10x floor: kept
+      "100000\t80.000\t21.0\t30.000\t11.0")  // 4N drain 1.20x floor: excluded
+    withFile(lines) { p =>
+      val (med, n) = Bench.pairStats(p, 100000L, 20.0, 10.0,
+        sbN = 80.0, sb4 = 25.0)
+      assert(n == 1)
+      assert(math.abs(med - 80.0 / 27.5 / 4.0) < 1e-9)
+    }
+  }
+
   test("one dirty side disqualifies the pair") {
     val lines = Seq("100000\t80.000\t21.0\t25.000\t14.0") // 4N warmup 40% over
     withFile(lines) { p =>

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Mirror of graft.Bench.pairStats for quick ledger inspection: clean-pair
-median efficiency under the warmup (1.25x) + drain (1.30x) floor gates.
+median efficiency under the warmup (1.25x) + drain (1.15x) floor gates.
 Usage: tools/pair_tally.py [ledger_dir]"""
 import sys
 
@@ -19,8 +19,8 @@ for line in open(f"{ledger}/graft_bench_pairs_shm_drain.tsv"):
     s1, w1, s4, w4 = map(float, parts[1:])
     pairs.append((s1, w1, s4, w4))
     if (wb1 > 0 and wb4 > 0 and w1 <= 1.25 * wb1 and w4 <= 1.25 * wb4
-            and (sb1 <= 0 or s1 <= 1.30 * sb1)
-            and (sb4 <= 0 or s4 <= 1.30 * sb4)):
+            and (sb1 <= 0 or s1 <= 1.15 * sb1)
+            and (sb4 <= 0 or s4 <= 1.15 * sb4)):
         clean.append(s1 / s4 / 4.0)
 clean.sort()
 effs = ", ".join(f"{e:.3f}" for e in clean)
