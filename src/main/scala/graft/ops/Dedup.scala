@@ -173,6 +173,61 @@ object Dedup {
       .distinct()
   }
 
+  /** Crop/occlusion-robust image near-dup pairs over PER-QUADRANT
+    * pHashes (T49). A whole-image pHash misses a crop, watermark stamp
+    * or border change: one corrupted region flips enough DCT signs to
+    * push the full-hash Hamming past any useful threshold. Hashing each
+    * image quadrant separately localizes the damage — an edit confined
+    * to one quadrant leaves the other three intact — so a pair is a
+    * near-dup when at least `minAgree` quadrants agree within `maxDist`
+    * (2-of-4 tolerates one independently-edited quadrant per side).
+    *
+    * Input: one row per (id, `quadCol`, `sigCol`) — e.g. phash64 over
+    * each quadrant's pixel block. Exactness: within one quadrant the
+    * pigeonhole band join of `signaturePairs` finds EVERY pair with
+    * hamming <= maxDist, and quadrants where hamming > maxDist never
+    * count toward agreement, so the (a, b, quad) candidate set IS the
+    * agreement set — the count filter is exact, not approximate.
+    *
+    * Scale shape: identical to `signaturePairs` with the quadrant id in
+    * the band-join key (4x the band rows, same bounded-bucket property:
+    * never n²), plus one (a, b)-keyed count-agg with map-side partials.
+    * Returns (doc_a, doc_b, n_quads_agree). */
+  def quadrantSignaturePairs(sigs: DataFrame, id: String, quadCol: String,
+                             sigCol: String, maxDist: Int, bits: Int = 64,
+                             minAgree: Int = 2): DataFrame = {
+    require(maxDist >= 0 && maxDist + 1 <= bits && bits <= 64,
+      s"need >=1 bit per band: maxDist=$maxDist bits=$bits")
+    val nBands = maxDist + 1
+    val bandBits = bits / nBands
+    val sig = col(sigCol).cast("long")
+    val bandStructs = (0 until nBands).map { bnd =>
+      val lo = bnd * bandBits
+      val width = if (bnd == nBands - 1) bits - lo else bandBits
+      val shifted = shiftright(sig, lo)
+      val bandVal = if (width >= 64) shifted
+                    else shifted.bitwiseAND(lit((1L << width) - 1))
+      struct(lit(bnd).as("band_id"), bandVal.as("band_val"))
+    }
+    val banded = sigs.localCheckpoint()
+      .select(col(id), col(quadCol).as("__q"), sig.as("__sig"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col(id), col("__q"), col("__sig"),
+        col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+    val a = banded.select(col("__q"), col("band_id"), col("band_val"),
+      col(id).as("doc_a"), col("__sig").as("sh_a"))
+    val b = banded.select(col("__q"), col("band_id"), col("band_val"),
+      col(id).as("doc_b"), col("__sig").as("sh_b"))
+    a.join(b, Seq("__q", "band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("__q"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_quads_agree"))
+      .filter(col("n_quads_agree") >= minAgree)
+  }
+
   /**
    * Connected components over an undirected near-duplicate edge list —
    * the step after candidate generation in a dedup pipeline: pairs

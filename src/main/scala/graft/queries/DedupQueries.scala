@@ -255,6 +255,59 @@ object DedupQueries {
       | doc_id = cluster_id AS is_keeper
       |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** q91 (T49): crop-robust image near-dup via PER-QUADRANT pHashes —
+    * pairs agreeing (hamming <= 2) in >= 2 of 4 quadrants. The planted
+    * table models the real failure mode whole-image pHash has: each
+    * doc's 4 quadrant hashes share a 60-bit per-(cluster, quadrant)
+    * base from md5, every third doc flips one bit per quadrant (sensor
+    * noise), and quadrant (doc_id % 4) is REPLACED by a doc-unique hash
+    * (a crop/watermark localized to that quadrant). In-cluster pairs
+    * still agree in the >= 2 untouched quadrants; a full-64-bit hash
+    * would be ~15 bits apart and missed. Oracle is brute-force
+    * all-pairs over all quadrants, certifying the per-quadrant banded
+    * join is exact. */
+  private[queries] def plantedQuadPhashes(s: SparkSession, d: String): DataFrame = {
+    val q = explode(sequence(lit(0), lit(3))).as("quad")
+    documents(s, d).select(col("doc_id"), q)
+      .select(col("doc_id"), col("quad"),
+        when(col("doc_id") % 4 === col("quad"),
+          conv(substring(md5(concat(lit("x"), col("doc_id").cast("string"),
+              lit("-"), col("quad").cast("string"))), 1, 15), 16, 10)
+            .cast("long"))
+        .otherwise(
+          conv(substring(md5(concat((col("doc_id") % 50).cast("string"),
+              lit("-"), col("quad").cast("string"))), 1, 15), 16, 10)
+            .cast("long")
+            .bitwiseXOR(when(col("doc_id") % 3 === 0,
+                expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id + quad) % 60 AS INT))"))
+              .otherwise(lit(0L))))
+        .as("phash"))
+  }
+
+  def q91QuadPhash(s: SparkSession, d: String): DataFrame =
+    Dedup.quadrantSignaturePairs(plantedQuadPhashes(s, d), "doc_id", "quad",
+        "phash", maxDist = 2, bits = 60, minAgree = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val q91Sql: String =
+    """WITH sig AS (
+      | SELECT d.doc_id, t.quad,
+      |  CASE WHEN d.doc_id % 4 = t.quad
+      |   THEN CAST(concat('0x', substr(md5('x' || d.doc_id || '-' || t.quad), 1, 15)) AS BIGINT)
+      |   ELSE xor(
+      |    CAST(concat('0x', substr(md5((d.doc_id % 50) || '-' || t.quad), 1, 15)) AS BIGINT),
+      |    CASE WHEN d.doc_id % 3 = 0
+      |         THEN (CAST(1 AS BIGINT) << CAST((d.doc_id + t.quad) % 60 AS INT))
+      |         ELSE CAST(0 AS BIGINT) END)
+      |  END AS phash
+      | FROM documents d, range(4) t(quad))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_quads_agree
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND a.quad = b.quad
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q25: embedding near-dup — top-1 cosine neighbor per vector
     * (fixed-point dot product; bit-identical across engines). */
   def q25EmbedNearest(s: SparkSession, d: String): DataFrame =

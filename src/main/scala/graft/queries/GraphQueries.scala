@@ -137,6 +137,32 @@ object GraphQueries {
       .orderBy("doc_id")
   }
 
+  /** q90 (T48): exact in/out-degree distribution of the q74/q85 link
+    * graph, zero-degree nodes included (see ops/Graph). */
+  def q90DegreeDist(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val n = docs.count()
+    Graph.degreeDistribution(docs.select("doc_id"), syntheticEdges(docs, n), "doc_id")
+      .orderBy(col("direction"), col("degree"))
+  }
+
+  val q90Sql: String =
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |$edgesSqlCte,
+       |outd AS (
+       | SELECT COALESCE(g.deg, 0) AS degree
+       | FROM documents d LEFT JOIN (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src) g ON g.src = d.doc_id),
+       |ind AS (
+       | SELECT COALESCE(g.deg, 0) AS degree
+       | FROM documents d LEFT JOIN (
+       |  SELECT dst, count(*) AS deg FROM edges GROUP BY dst) g ON g.dst = d.doc_id)
+       |SELECT direction, degree, n_nodes FROM (
+       | SELECT 'out' AS direction, degree, count(*) AS n_nodes FROM outd GROUP BY degree
+       | UNION ALL
+       | SELECT 'in' AS direction, degree, count(*) AS n_nodes FROM ind GROUP BY degree)
+       |ORDER BY direction, degree""".stripMargin
+
   val q88Sql: String =
     """WITH nn AS (SELECT count(*) AS n FROM documents),
       |tk AS (

@@ -34,4 +34,39 @@ object ScheduleQueries {
       |  CAST(((SELECT max(last_us) FROM per) - last_us) // 1000000 AS BIGINT) AS age_s
       | FROM per)
       |ORDER BY user_id""".stripMargin
+
+  /** q89 (T47): incremental-recrawl snapshot delta. Two deterministic
+    * crawl snapshots are derived from `documents`: the OLD snapshot
+    * drops every 10th doc (pages the first crawl missed), the NEW drops
+    * every 7th (pages that 404'd on recrawl), and every 5th doc's
+    * content changed between crawls (digest of text || 'v2'). In
+    * production these are two IceLite snapshot reads of the fetchlog;
+    * the operator (`Recrawl.snapshotDiff`) is one co-partitioned
+    * full-outer join either way. */
+  def q89CrawlDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+    val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, md5(concat(col("text"), lit("v2"))))
+          .otherwise(md5(col("text"))).as("digest"))
+    Recrawl.snapshotDiff(oldSnap, newSnap, "doc_id").orderBy(col("doc_id"))
+  }
+
+  val q89Sql: String =
+    """WITH old AS (
+      | SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 10 != 0),
+      |new AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS digest
+      | FROM documents WHERE doc_id % 7 != 0)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      | CASE WHEN o.doc_id IS NULL THEN 'added'
+      |      WHEN n.doc_id IS NULL THEN 'removed'
+      |      WHEN o.digest != n.digest THEN 'changed'
+      |      ELSE 'unchanged' END AS status,
+      | o.digest AS old_digest, n.digest AS new_digest
+      |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
 }
