@@ -99,7 +99,10 @@ object Recrawl {
         coalesce(col("__k"), col("__k2")).as(id),
         when(col("__k").isNull, lit("added"))
           .when(col("__k2").isNull, lit("removed"))
-          .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+          // null-SAFE compare: a null digest on one side (fetch failed,
+          // body withheld) vs a value on the other IS a change; =!=
+          // would yield null there and silently classify 'unchanged'
+          .when(!(col("old_digest") <=> col("new_digest")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"),
         col("old_digest"), col("new_digest"))
   }

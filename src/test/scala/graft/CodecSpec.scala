@@ -105,6 +105,50 @@ class CodecSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("quadrant phash pairs match brute-force quadrant-agreement counts") {
+    // Per-quadrant near-dup voting (T49): hash each image quadrant
+    // separately; a pair is a dup when >= 2 of 4 quadrants agree within
+    // maxDist=2. Fixture: 20 images in 10 clone-pairs; the odd member
+    // of each pair gets (i%3) bits flipped in quadrants 0-2 (sensor
+    // noise, still within tolerance for i%3<=2) and quadrant 3 replaced
+    // wholesale (a localized crop) — whole-image hashing would see a
+    // huge combined distance, quadrant voting still pairs them.
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def h60(): Long = rnd.nextLong() & ((1L << 60) - 1)
+    val rows: Seq[(Long, Int, Long)] = (0 until 10).flatMap { c =>
+      val base = Array.fill(4)(h60())
+      val a = (2L * c, base)
+      val noisy = base.zipWithIndex.map { case (h, q) =>
+        if (q == 3) h60() // quadrant 3 cropped/replaced on the clone
+        else {
+          var x = h
+          for (k <- 0 until (c % 3)) x ^= 1L << ((c * 7 + q * 3 + k) % 60)
+          x
+        }
+      }
+      val b = (2L * c + 1, noisy)
+      Seq(a, b).flatMap { case (id, hs) =>
+        hs.zipWithIndex.map { case (h, q) => (id, q, h) }
+      }
+    }
+    // brute force: per-pair count of quadrants with hamming <= 2
+    val byId = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val ids = byId.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      n = (0 until 4).count(q => java.lang.Long.bitCount(byId(a)(q) ^ byId(b)(q)) <= 2)
+      if n >= 2
+    } yield (a, b, n.toLong)).toSet
+    assert(brute.nonEmpty && brute.size < ids.size * (ids.size - 1) / 4)
+    val got = graft.ops.Dedup.quadrantSignaturePairs(
+        rows.toDF("img_id", "quad", "phash"), "img_id", "quad", "phash",
+        maxDist = 2, bits = 60, minAgree = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
   test("corrupted payload is detected by the PSNR invariant") {
     val px = SyntheticWeb.pixelsFor(42L, 9L, 32, 32)
     val bad = px.clone()

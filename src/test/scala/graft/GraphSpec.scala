@@ -145,4 +145,32 @@ class GraphSpec extends AnyFunSuite {
       (11L, 2L, "alpha", 1L),
       (12L, 1L, "gamma", 1L)))
   }
+
+  test("degreeDistribution: zero-degree nodes counted, exact histogram") {
+    // 0 -> 1, 0 -> 2, 1 -> 2, 3 isolated (no in, no out)
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.degreeDistribution(nodes, edges)
+      .as[(String, Long, Long)].collect().toSet
+    // out-degrees: 0->2, 1->1, 2->0, 3->0 ; in-degrees: 0->0, 1->1, 2->2, 3->0
+    assert(got == Set(
+      ("out", 2L, 1L), ("out", 1L, 1L), ("out", 0L, 2L),
+      ("in", 2L, 1L), ("in", 1L, 1L), ("in", 0L, 2L)))
+  }
+
+  test("degreeDistribution matches a brute-force reference on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 50
+    val edges = (0 until 120).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val outRef = (0 until n).map(i => edges.count(_._1 == i).toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val inRef = (0 until n).map(i => edges.count(_._2 == i).toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.degreeDistribution(
+        (0 until n).map(_.toLong).toDF("id"), edges.toDF("src", "dst"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(got("out") == outRef)
+    assert(got("in") == inRef)
+  }
 }

@@ -77,4 +77,33 @@ class RetrievalSchedSpec extends AnyFunSuite {
       .select("n_changes").as[Long].collect()
     assert(got.toSeq == Seq(2L)) // 1.0 -> 2.0 -> 1.0 in event_id order
   }
+
+  // ---- snapshot diff (T47) ----
+
+  test("snapshotDiff: all four statuses on a hand pair of snapshots") {
+    val oldSnap = Seq(
+      ("a", "h1"), ("b", "h2"), ("c", "h3")).toDF("url", "digest")
+    val newSnap = Seq(
+      ("a", "h1"),  // unchanged
+      ("b", "hX"),  // changed
+      ("d", "h4")). // added; "c" removed
+      toDF("url", "digest")
+    val got = Recrawl.snapshotDiff(oldSnap, newSnap)
+      .select("url", "status").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "unchanged", "b" -> "changed",
+                      "c" -> "removed", "d" -> "added"))
+  }
+
+  test("snapshotDiff: null digest vs a value is a change, null-null is not") {
+    val oldSnap = Seq(
+      ("a", null.asInstanceOf[String]), ("b", null.asInstanceOf[String]))
+      .toDF("url", "digest")
+    val newSnap = Seq(("a", "h1"), ("b", null.asInstanceOf[String]))
+      .toDF("url", "digest")
+    val got = Recrawl.snapshotDiff(oldSnap, newSnap)
+      .select("url", "status").as[(String, String)].collect().toMap
+    // a: null -> h1 is 'changed' (=!= would null out and say unchanged);
+    // b: null on both sides means nothing observable changed
+    assert(got == Map("a" -> "changed", "b" -> "unchanged"))
+  }
 }
