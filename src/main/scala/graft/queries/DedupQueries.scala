@@ -332,4 +332,45 @@ object DedupQueries {
       |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, nn_id) AS rn
       | FROM dots)
       |SELECT vec_id, nn_id, sim FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** q94 (T52): mirror-host detection. Six synthesized hosts share a
+    * 40-key content pool (a key reaches host h iff key ≡ h mod 2, so
+    * same-parity hosts mirror each other and opposite-parity hosts
+    * share nothing); every 7th page is unique content, shrinking the
+    * Jaccard below 1 without touching candidate generation. Exact
+    * integer ppm so the threshold is engine-stable. */
+  def q94MirrorHosts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = when($"doc_id" % 7 === 0, concat(lit("u"), $"doc_id".cast("string")))
+      .otherwise(($"doc_id" % 40).cast("string"))
+    val pages = documents(s, d).select(
+      concat(lit("h"), ($"doc_id" % 6).cast("string")).as("host"),
+      md5(key).as("digest"))
+    Dedup.mirrorHostPairs(pages, "host", "digest",
+        dfCap = 6L, minJaccardPpm = 200000L)
+      .orderBy($"host_a", $"host_b")
+  }
+
+  val q94Sql: String =
+    """WITH hd AS (
+      | SELECT DISTINCT concat('h', doc_id % 6) AS host,
+      |  md5(CASE WHEN doc_id % 7 = 0 THEN concat('u', doc_id)
+      |           ELSE CAST(doc_id % 40 AS VARCHAR) END) AS digest
+      | FROM documents),
+      |sizes AS (SELECT host, count(*) AS n_pages FROM hd GROUP BY host),
+      |dfreq AS (
+      | SELECT digest FROM hd GROUP BY digest
+      | HAVING count(*) >= 2 AND count(*) <= 6),
+      |kept AS (SELECT hd.host, hd.digest FROM hd JOIN dfreq USING (digest)),
+      |pairs AS (
+      | SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+      | FROM kept a JOIN kept b ON a.digest = b.digest AND a.host < b.host
+      | GROUP BY 1, 2)
+      |SELECT host_a, host_b, shared, sa.n_pages AS n_a, sb.n_pages AS n_b,
+      | (shared * 1000000) // (sa.n_pages + sb.n_pages - shared) AS jaccard_ppm
+      |FROM pairs
+      |JOIN sizes sa ON sa.host = pairs.host_a
+      |JOIN sizes sb ON sb.host = pairs.host_b
+      |WHERE (shared * 1000000) // (sa.n_pages + sb.n_pages - shared) >= 200000
+      |ORDER BY host_a, host_b""".stripMargin
 }

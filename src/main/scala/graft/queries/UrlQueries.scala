@@ -174,4 +174,70 @@ object UrlQueries {
       |      ELSE true END AS allowed,
       | CASE WHEN doc_id % 4 = 0 THEN 2.0 ELSE 1.0 END AS delay
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q92 (T50): tracking-parameter strip — utm-prefixed/click-id params are
+    * removed, content params survive in order, an all-tracking query
+    * drops its '?'. The oracle states each expected form directly, so
+    * the Spark side must genuinely parse/filter/rejoin the query
+    * string. */
+  def q92TrackingParams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val id = $"doc_id".cast("string")
+    val raw = when($"doc_id" % 4 === 0,
+        concat(lit("http://ex.test/p/"), id, lit("?utm_source=news&a="), id, lit("&fbclid=XYZ")))
+      .when($"doc_id" % 4 === 1,
+        concat(lit("http://ex.test/p/"), id, lit("?b=2&UTM_Medium=email&a=1")))
+      .when($"doc_id" % 4 === 2,
+        concat(lit("http://ex.test/p/"), id, lit("?utm_campaign=x&gclid="), id))
+      .otherwise(concat(lit("http://ex.test/p/"), id))
+    documents(s, d)
+      .select($"doc_id", raw.as("url"))
+      .withColumn("url_s", strip_tracking_params($"url"))
+      .orderBy($"doc_id")
+  }
+
+  val q92Sql: String =
+    """SELECT doc_id,
+      | CASE doc_id % 4
+      |  WHEN 0 THEN concat('http://ex.test/p/', doc_id, '?utm_source=news&a=', doc_id, '&fbclid=XYZ')
+      |  WHEN 1 THEN concat('http://ex.test/p/', doc_id, '?b=2&UTM_Medium=email&a=1')
+      |  WHEN 2 THEN concat('http://ex.test/p/', doc_id, '?utm_campaign=x&gclid=', doc_id)
+      |  ELSE concat('http://ex.test/p/', doc_id) END AS url,
+      | CASE doc_id % 4
+      |  WHEN 0 THEN concat('http://ex.test/p/', doc_id, '?a=', doc_id)
+      |  WHEN 1 THEN concat('http://ex.test/p/', doc_id, '?b=2&a=1')
+      |  ELSE concat('http://ex.test/p/', doc_id) END AS url_s
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q93 (T51): crawl-trap detection. Three synthesized URL families
+    * per host: a calendar-style trap (`/cal/2020/<id>` — one distinct
+    * URL per doc), a bounded article family (8 distinct pages), and a
+    * single static page. Only the trap template crosses the
+    * distinct-URL threshold. Host/path come from the URL via the
+    * native url expressions; the oracle rebuilds the same grouping
+    * with DuckDB regexp_replace. */
+  def q93UrlTraps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val id = $"doc_id".cast("string")
+    val path = when($"doc_id" % 3 === 0, concat(lit("/cal/2020/"), id))
+      .when($"doc_id" % 3 === 1, concat(lit("/article/"), ($"doc_id" % 8).cast("string")))
+      .otherwise(lit("/static/about"))
+    val url = concat(lit("http://h"), ($"doc_id" % 4).cast("string"),
+      lit(".example.test"), path)
+    graft.ops.Frontier.trapTemplates(
+        documents(s, d).select($"doc_id", url.as("url")), "url", minDistinct = 10L)
+      .orderBy($"host", $"template")
+  }
+
+  val q93Sql: String =
+    """WITH u AS (
+      | SELECT concat('h', doc_id % 4, '.example.test') AS host,
+      |  CASE doc_id % 3 WHEN 0 THEN concat('/cal/2020/', doc_id)
+      |   WHEN 1 THEN concat('/article/', doc_id % 8)
+      |   ELSE '/static/about' END AS path
+      | FROM documents)
+      |SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+      | count(DISTINCT path) AS n_urls,
+      | count(DISTINCT path) >= 10 AS trap
+      |FROM u GROUP BY 1, 2 ORDER BY host, template""".stripMargin
 }

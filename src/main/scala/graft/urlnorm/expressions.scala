@@ -125,4 +125,39 @@ object urlfunctions {
 
   /** F6 empty/whitespace task guard (`crawler/crawler_node.py:390-393`). */
   def non_empty_url(c: Column): Column = c.isNotNull && length(trim(c)) > 0
+
+  /** T50: click-tracking query-parameter strip — the DUST-style
+    * canonicalization step (Bar-Yossef et al., "Do Not Crawl in the
+    * DUST") that equates URLs differing only in `utm_*`/click-id
+    * params. Without it a crawler's seen-set treats every campaign
+    * link as a new page and refetches the same content once per
+    * tracking token. The reference strips only fragments
+    * (`crawler/crawler_node.py:314`); this extends the same
+    * normalization family.
+    *
+    * Pure built-in column logic (split + higher-order `filter` +
+    * `array_join`) — evaluated as Catalyst expressions on Tungsten
+    * rows, no Scala UDF closure. Empty-after-strip queries drop the
+    * '?' entirely; URLs without a query pass through byte-identical,
+    * so the function is idempotent (UrlCanonSpec property).
+    */
+  def strip_tracking_params(c: Column): Column = {
+    import org.apache.spark.sql.functions.{array_join, filter => afilter, get, lower, size, split}
+    // exact-name click identifiers; utm_* is matched by prefix
+    val blocked = Seq("fbclid", "gclid", "msclkid", "mc_eid", "igshid",
+      "yclid", "wbraid", "gbraid")
+    // `get` (not getItem): a URL without '?' splits to a 1-element
+    // array, and under ANSI semantics an out-of-range getItem throws
+    // instead of returning null
+    val parts = split(c, "\\?", 2)
+    val base = get(parts, lit(0))
+    val query = get(parts, lit(1))
+    val kept = afilter(split(query, "&"), p => {
+      val key = lower(get(split(p, "=", 2), lit(0)))
+      !(key.startsWith("utm_") || key.isin(blocked: _*))
+    })
+    when(query.isNull, c)
+      .when(size(kept) === 0, base)
+      .otherwise(concat(base, lit("?"), array_join(kept, "&")))
+  }
 }

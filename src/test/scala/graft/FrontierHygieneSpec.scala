@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.urlnorm.urlfunctions._
+import graft.ops.{Dedup, Frontier}
+
+/** Frontier-hygiene operators: tracking-param strip (T50), crawl-trap
+  * template detection (T51), mirror-host pairs (T52). */
+class FrontierHygieneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def strip(u: String): String =
+    Seq(u).toDF("url").select(strip_tracking_params($"url")).as[String].head()
+
+  test("T50: strip_tracking_params removes utm_*/click-ids, keeps content params in order") {
+    assert(strip("http://a.test/p?utm_source=n&a=1&fbclid=Z&b=2") == "http://a.test/p?a=1&b=2")
+    // case-insensitive key match, original value untouched
+    assert(strip("http://a.test/p?UTM_Medium=email&a=1") == "http://a.test/p?a=1")
+    assert(strip("http://a.test/p?GCLID=xyz") == "http://a.test/p")
+    // all-tracking query drops the '?' entirely
+    assert(strip("http://a.test/p?utm_campaign=x") == "http://a.test/p")
+    // no query: byte-identical passthrough
+    assert(strip("http://a.test/p") == "http://a.test/p")
+    // utm must be a key PREFIX, not a substring; valueless params survive
+    assert(strip("http://a.test/p?xutm_source=1&flag") == "http://a.test/p?xutm_source=1&flag")
+  }
+
+  test("T50: strip_tracking_params is idempotent") {
+    val urls = Seq(
+      "http://a.test/p?utm_source=n&a=1&fbclid=Z",
+      "http://a.test/p?a=1&b=2",
+      "http://a.test/p?utm_a=1&utm_b=2",
+      "http://a.test/p")
+    urls.foreach { u =>
+      val once = strip(u)
+      assert(strip(once) == once, s"not idempotent on $u")
+    }
+  }
+
+  test("T51: trapTemplates flags only the exploding template") {
+    // calendar trap: 30 distinct URLs collapse to one template;
+    // article family: 5 distinct; static: 1
+    val urls = ((1 to 30).map(i => s"http://h.test/cal/2020/$i") ++
+      (1 to 5).map(i => s"http://h.test/article/$i") ++
+      Seq.fill(10)("http://h.test/about")).toDF("url")
+    val out = Frontier.trapTemplates(urls, "url", minDistinct = 10L)
+      .orderBy($"template")
+      .as[(String, String, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      ("h.test", "/about", 1L, false),
+      ("h.test", "/article/N", 5L, false),
+      ("h.test", "/cal/N/N", 30L, true)))
+  }
+
+  test("T52: mirrorHostPairs computes exact jaccard; df-cap drops boilerplate digests") {
+    // m1/m2 share {c1,c2,c3}; m1 also has u1, m2 has u2 → J = 3/5.
+    // 'boiler' is on all four hosts — df-cap 3 drops it from candidate
+    // generation but it still counts in n_pages (the denominators).
+    val pages = Seq(
+      ("m1", "c1"), ("m1", "c2"), ("m1", "c3"), ("m1", "u1"), ("m1", "boiler"),
+      ("m2", "c1"), ("m2", "c2"), ("m2", "c3"), ("m2", "u2"), ("m2", "boiler"),
+      ("x1", "boiler"), ("x2", "boiler"),
+      // duplicate row: refetched page must count once
+      ("m1", "c1")).toDF("host", "digest")
+    val out = Dedup.mirrorHostPairs(pages, "host", "digest", dfCap = 3L, minJaccardPpm = 1L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("m1", "m2", 3L, 5L, 5L, 3000000L / 7)))
+  }
+}
