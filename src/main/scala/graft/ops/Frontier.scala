@@ -44,4 +44,61 @@ object Frontier {
       .groupBy(col("host"), col("template"))
       .agg(countDistinct(col("path")).as("n_urls"))
       .withColumn("trap", col("n_urls") >= minDistinct)
+
+  /** T54: max-min-fair per-host wave allocation (water-filling). Given
+    * a frontier and a global wave capacity C, pick per-host quotas
+    * a_h = min(pending_h, L) with L the largest level whose total fits
+    * C — the classic max-min fairness solution. A proportional split
+    * (C * pending_h / total) hands a hot host most of the wave (the
+    * north-rule skew failure); a flat cap C/m starves nothing but
+    * wastes capacity on hosts with fewer pages than the cap. Max-min
+    * gives every host its full demand until the budget binds, then a
+    * uniform level — exactly the fairness a politeness-bound crawler
+    * wants (cf. the reference's flat `max(1, len(urls) // count)` split,
+    * `master/master_node.py:163-175`, which over-allocates small hosts).
+    *
+    * The level is found WITHOUT driver iteration, in closed form over
+    * the pending-count histogram: for each distinct count c (ascending,
+    * with a virtual c=0 row so an over-subscribed budget still lands),
+    * total(c) = sum_{c_i<=c} c_i*n_i + hosts_gt(c)*c is the capacity a
+    * level-c allocation uses; the binding row is the max feasible c,
+    * and L = c + (C - total(c)) div hosts_gt(c) (everything fits when
+    * hosts_gt = 0 → L = c_max). Monotonicity of total(c) makes the
+    * closed form exact — if the division pushed L past the next
+    * distinct count, that row would itself be feasible.
+    *
+    * Scale shape: one host-keyed count shuffle (the frontier never
+    * moves further); the histogram has O(distinct pending values) rows
+    * — bounded like degreeDistribution's second agg — so its ordered
+    * prefix-sum window on a single partition is O(small); the 1-row
+    * level broadcasts back onto the per-host counts. All integers.
+    */
+  def fairHostQuota(frontier: DataFrame, hostCol: String, capacity: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = frontier.groupBy(col(hostCol).as("host"))
+      .agg(count(lit(1)).as("pending"))
+      .localCheckpoint() // feeds the histogram AND the quota join
+    val hist = counts.groupBy(col("pending").as("c"))
+      .agg(count(lit(1)).as("n_hosts"))
+      .unionByName(frontier.sparkSession.range(1)
+        .select(lit(0L).as("c"), lit(0L).as("n_hosts")))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val level = hist
+      .withColumn("sum_le", sum(col("c") * col("n_hosts")).over(w))
+      .withColumn("hosts_gt", sum(col("n_hosts")).over(all) - sum(col("n_hosts")).over(w))
+      .withColumn("total_at", col("sum_le") + col("hosts_gt") * col("c"))
+      .withColumn("c_max", max(col("c")).over(all))
+      .filter(col("total_at") <= capacity)
+      .orderBy(col("c").desc).limit(1)
+      // `div`, not `/`: Spark's / on longs is double division, and a
+      // >2^53 capacity would round the level
+      .select(when(col("hosts_gt") === 0, col("c_max"))
+        .otherwise(col("c") + expr(s"(${capacity}L - total_at) div hosts_gt"))
+        .as("level"))
+    counts.crossJoin(broadcast(level))
+      .select(col("host"), col("pending"),
+        least(col("pending"), col("level")).as("quota"))
+  }
 }

@@ -386,4 +386,57 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"), sum(col("wa") * col("wb")).as("score"))
       .filter(col("score") >= minScore)
   }
+
+  /** T53: exact duplicated-span extraction (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * variant): any token span of length >= k whose k-gram content
+    * appears more than once in the corpus (within OR across documents)
+    * is reported as a maximal duplicated span. Suffix arrays are the
+    * single-machine tool; the distributed equivalent is sliding
+    * k-grams + a corpus-wide occurrence count + per-document merging
+    * of consecutive duplicated gram starts into maximal runs — a run
+    * of starts [a..b] covers tokens [a, b+k-1].
+    *
+    * Returns one row per (id, span): (id, span_start, span_end,
+    * span_tokens), positions 0-based over the C3 token stream. All
+    * integers — engine-exact.
+    *
+    * Scale shape: the gram explode is map-side; grams cross the wire
+    * as xxhash64 LONGS, never strings (at k=50-token grams a 100 TB
+    * corpus would otherwise shuffle ~50x its own size; a 64-bit
+    * collision falsely marks one gram duplicated at ~1e-10/pair odds —
+    * the standard trade, Lee et al. hash too). The exploded (id, pos,
+    * gram_h) table is materialized ONCE and feeds both the occurrence
+    * count and the run-merge (the q21 recompute lesson). Two shuffles:
+    * the gram-hash aggregate and the per-document window; a boilerplate
+    * gram hot key collapses map-side in the count partial-agg, and the
+    * window key (id) is the natural document partitioning.
+    */
+  def duplicatedSpans(df: DataFrame, id: String, text: String,
+                      k: Int = 8, minOccurrences: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokensCol(col(text))
+    // sequence(0, n-k) runs DESCENDING when n < k (see LangModel) —
+    // guard to an empty gram array for short documents
+    val gramsArr = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val grams = df
+      .select(col(id), posexplode(gramsArr).as(Seq("pos", "gram_h")))
+      .localCheckpoint()
+    val dup = grams.groupBy(col("gram_h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("gram_h"))
+    val runGrp = col("pos") -
+      row_number().over(Window.partitionBy(col(id)).orderBy(col("pos")))
+    grams.join(dup, Seq("gram_h"), "left_semi")
+      .withColumn("grp", runGrp)
+      .groupBy(col(id), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k - 1).cast("long").as("span_end"))
+      .select(col(id), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
 }

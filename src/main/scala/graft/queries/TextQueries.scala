@@ -447,4 +447,37 @@ object TextQueries {
       |FROM w a JOIN w b ON a.token = b.token AND a.doc < b.doc
       |GROUP BY 1, 2 HAVING CAST(sum(a.w * b.w) AS BIGINT) >= 1
       |ORDER BY 1, 2""".stripMargin
+
+  /** q95 (T53): exact duplicated-span extraction over the raw corpus —
+    * the synthetic documents table carries genuine repeated text
+    * (near-dup families feed the minhash/jaccard queries), so any
+    * 8-gram occurring twice anywhere yields spans; the oracle rebuilds
+    * the same sliding grams + run-merge with raw gram strings (the
+    * Spark side shuffles xxhash64 longs — an internal choice the
+    * output can't see). */
+  def q95DupSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.duplicatedSpans(documents(s, d), "doc_id", "text", k = 8)
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  val q95Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tk
+      | FROM documents),
+      |g AS (
+      | SELECT doc_id,
+      |  unnest(list_transform(range(len(tk) - 7),
+      |    i -> {'p': i, 'g': array_to_string(list_slice(tk, i+1, i+8), ' ')})) AS s
+      | FROM t WHERE len(tk) >= 8),
+      |pos AS (SELECT doc_id, s.p AS pos, s.g AS gram FROM g),
+      |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+      |runs AS (
+      | SELECT doc_id, pos,
+      |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      | FROM pos WHERE gram IN (SELECT gram FROM dup))
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+      | max(pos) - min(pos) + 8 AS span_tokens
+      |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
 }

@@ -240,4 +240,44 @@ object UrlQueries {
       | count(DISTINCT path) AS n_urls,
       | count(DISTINCT path) >= 10 AS trap
       |FROM u GROUP BY 1, 2 ORDER BY host, template""".stripMargin
+
+  /** q96 (T54): max-min-fair wave allocation. Hosts get quadratically
+    * skewed pending counts (host index = floor(sqrt(doc_id % 100)) →
+    * h0 holds 1% of the frontier, h9 holds 19%); capacity is 60% of
+    * the frontier, so small hosts are fully served and big hosts clamp
+    * to the water level. IEEE sqrt is correctly rounded, so both
+    * engines floor identically. */
+  def q96FairQuota(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frontier = documents(s, d).select(
+      concat(lit("h"), floor(sqrt(($"doc_id" % 100).cast("double"))).cast("long").cast("string"))
+        .as("host"))
+    val cap = documents(s, d).count() * 3 / 5
+    graft.ops.Frontier.fairHostQuota(frontier, "host", cap)
+      .orderBy($"host")
+  }
+
+  val q96Sql: String =
+    """WITH f AS (
+      | SELECT concat('h', CAST(CAST(floor(sqrt(doc_id % 100)) AS BIGINT) AS VARCHAR)) AS host
+      | FROM documents),
+      |counts AS (SELECT host, count(*) AS pending FROM f GROUP BY host),
+      |cap AS (SELECT count(*) * 3 // 5 AS c FROM documents),
+      |hist AS (
+      | SELECT pending AS c, count(*) AS n_hosts FROM counts GROUP BY pending
+      | UNION ALL SELECT 0, 0),
+      |lv AS (
+      | SELECT c,
+      |  sum(c * n_hosts) OVER (ORDER BY c) AS sum_le,
+      |  sum(n_hosts) OVER () - sum(n_hosts) OVER (ORDER BY c) AS hosts_gt,
+      |  max(c) OVER () AS c_max
+      | FROM hist),
+      |level AS (
+      | SELECT CASE WHEN hosts_gt = 0 THEN c_max
+      |  ELSE c + ((SELECT c FROM cap) - (sum_le + hosts_gt * c)) // hosts_gt END AS level
+      | FROM lv WHERE sum_le + hosts_gt * c <= (SELECT c FROM cap)
+      | ORDER BY c DESC LIMIT 1)
+      |SELECT counts.host, counts.pending,
+      | CAST(least(counts.pending, level.level) AS BIGINT) AS quota
+      |FROM counts, level ORDER BY host""".stripMargin
 }

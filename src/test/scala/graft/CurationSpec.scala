@@ -392,4 +392,37 @@ class CurationSpec extends AnyFunSuite {
     assert(got.find(_._1 == 2L).get == ((2L, 1L, esKey(2L, 1L))))
     assert(got.find(_._1 == 3L).get == ((3L, 2L, esKey(3L, 2L))))
   }
+
+  test("duplicatedSpans (T53): maximal run merge, within-doc repeats, short docs") {
+    // doc 1 and doc 2 share a 10-token phrase (3 overlapping 8-gram
+    // starts → ONE maximal span of 10 tokens); doc 3 repeats its own
+    // 8 tokens twice (within-doc dup → two spans in the same doc);
+    // doc 4 is unique; doc 5 is shorter than k (no grams at all).
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"one two $shared"),
+      (2L, s"$shared three four"),
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 mid r1 r2 r3 r4 r5 r6 r7 r8"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+      (5L, "tiny doc here")).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 11L, 10L),   // shared phrase at offset 2
+      (2L, 0L, 9L, 10L),    // shared phrase at offset 0
+      (3L, 0L, 7L, 8L),     // first within-doc copy
+      (3L, 9L, 16L, 8L)))   // second copy after the separator token
+  }
+
+  test("duplicatedSpans: adjacent duplicated grams from DIFFERENT phrases still merge") {
+    // two distinct duplicated 8-grams at consecutive starts merge into
+    // one maximal span — the span is about positions, not gram identity
+    val a = (1 to 9).map(i => s"a$i").mkString(" ") // grams at 0 and 1
+    val docs = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 8L, 9L), (2L, 0L, 8L, 9L)))
+  }
 }

@@ -68,4 +68,32 @@ class FrontierHygieneSpec extends AnyFunSuite {
       .as[(String, String, Long, Long, Long, Long)].collect()
     assert(out.toSeq == Seq(("m1", "m2", 3L, 5L, 5L, 3000000L / 7)))
   }
+
+  private def quotas(counts: Seq[(String, Int)], cap: Long): Map[String, Long] = {
+    val frontier = counts.flatMap { case (h, n) => Seq.fill(n)(h) }.toDF("host")
+    Frontier.fairHostQuota(frontier, "host", cap)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+  }
+
+  test("T54: fairHostQuota water level binds hot hosts, serves small hosts fully") {
+    // demands 1,3,10,20, capacity 12: level 4 → 1+3+4+4 = 12 exactly
+    assert(quotas(Seq(("a", 1), ("b", 3), ("c", 10), ("d", 20)), 12) ==
+      Map("a" -> 1L, "b" -> 3L, "c" -> 4L, "d" -> 4L))
+    // capacity 13: level 4 uses 12, remainder 1 < hosts-above-level
+    // stays unallocated (level 5 would need 14)
+    assert(quotas(Seq(("a", 1), ("b", 3), ("c", 10), ("d", 20)), 13) ==
+      Map("a" -> 1L, "b" -> 3L, "c" -> 4L, "d" -> 4L))
+  }
+
+  test("T54: fairHostQuota — everything fits and over-subscribed edges") {
+    // capacity >= total demand: every host gets its full demand
+    assert(quotas(Seq(("a", 2), ("b", 5)), 100) == Map("a" -> 2L, "b" -> 5L))
+    assert(quotas(Seq(("a", 2), ("b", 5)), 7) == Map("a" -> 2L, "b" -> 5L))
+    // capacity below m * min-demand: level under the smallest count
+    // (the virtual zero histogram row), uniform floor(C/m)
+    assert(quotas(Seq(("a", 4), ("b", 6), ("c", 9)), 8) ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // zero capacity: all quotas zero
+    assert(quotas(Seq(("a", 4), ("b", 6)), 0) == Map("a" -> 0L, "b" -> 0L))
+  }
 }

@@ -351,4 +351,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val seenN = seen.count()
     assert(kept == total - seenN, s"expected ${total - seenN} new urls, got $kept")
   }
+
+  test("q95: span consumers read the materialized gram table; grams shuffle as longs") {
+    // both consumers (occurrence count + run merge) must read the
+    // localCheckpoint'd gram table — an inlined plan re-explodes the
+    // corpus per consumer (the q21 recompute class)
+    val p = plan("q95_dup_spans")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q95 re-scans documents $scans times past the checkpoint:\n${p.take(2000)}")
+    // the gram equi-join/agg key is the 64-bit hash, not the gram string
+    assert(p.contains("gram_h"), s"gram hash column missing from plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q96: fair quota joins a 1-row broadcast level; frontier shuffles once on host") {
+    val p = plan("q96_fair_quota")
+    // the level side is a 1-row broadcast, not a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"level join is not broadcast:\n${p.take(2000)}")
+    // past the materialized counts, the frontier itself never re-scans
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q96 re-scans the frontier $scans times past the checkpoint:\n${p.take(2000)}")
+  }
 }
