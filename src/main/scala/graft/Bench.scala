@@ -395,7 +395,11 @@ object Bench {
     "q79_clip_align", "q83_crossmodal",
     // the df-capped posting self-join (q84) is the heaviest sparse-
     // retrieval shape — tracked for the same regression reason as q21
-    "q84_tfidf_pairs")
+    "q84_tfidf_pairs",
+    // the sliding-gram explode (q95) is the widest map-side expansion
+    // in the suite — tracked so a gram-table recompute or a
+    // string-shuffle regression shows up in the artifact
+    "q95_dup_spans")
 
   def main(args: Array[String]): Unit = {
     // subprocess leg mode: --crawl <cores> <pages> <preSeeded>

@@ -59,6 +59,48 @@ object StreamOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming task-id correlation (J5, `master/master_node.py:119-130`
+    * matching completions back to dispatched tasks): a stream-stream
+    * inner join of the dispatch stream against the completion stream on
+    * task_id, bounded by an event-time range (`done.ts` within
+    * [sent.ts, sent.ts + maxLag]). Both sides carry watermarks, so the
+    * join state the store retains is arrival-rate × horizon — a
+    * completion that never arrives inside the lag bound simply ages
+    * out; the batch J5 anti-join over committed tables remains the
+    * exact backstop, same split as firstSeenUrls. Emits
+    * (task_id, sent_ts, done_ts, lag_sec) exactly once per match. */
+  def taskCorrelation(sent: DataFrame, done: DataFrame,
+                      maxLag: String = "10 minutes",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val s = sent.withWatermark("ts", watermark)
+      .select(col("task_id"), col("ts").as("sent_ts"))
+    val d = done.withWatermark("ts", watermark)
+      .select(col("task_id").as("task_id_d"), col("ts").as("done_ts"))
+    s.join(d,
+        col("task_id") === col("task_id_d") &&
+          col("done_ts") >= col("sent_ts") &&
+          col("done_ts") <= col("sent_ts") + expr(s"INTERVAL $maxLag"))
+      .select(col("task_id"), col("sent_ts"), col("done_ts"),
+        (unix_timestamp(col("done_ts")) - unix_timestamp(col("sent_ts"))).as("lag_sec"))
+  }
+
+  /** Streaming → snapshot sink: a `foreachBatch` body that lands each
+    * micro-batch as one atomic IceLite commit, recording the batch id
+    * in the commit metadata. Exactly-once across restarts comes from
+    * idempotent replay: Structured Streaming re-delivers the last
+    * batch after recovery, and the sink skips any batch id at or below
+    * the one already committed (the same batchId-dedup contract
+    * Spark's own transactional sinks document). Usage:
+    * `stream.writeStream.foreachBatch(StreamOps.snapshotSink(ice, "t")).start()`. */
+  def snapshotSink(ice: graft.icelite.IceLite, table: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val committed = ice.currentSnapshotId
+        .flatMap(id => ice.commitMeta(id).get("stream_batch_id")).map(_.toLong)
+      if (!committed.exists(_ >= batchId))
+        ice.commit(Seq(table -> batch),
+          meta = Map("stream_batch_id" -> batchId.toString))
+    }
+
   case class FetchEvent(host: String, url: String)
   case class BudgetBreach(host: String, nFetches: Long)
 

@@ -196,4 +196,56 @@ class SearchAndStreamSpec extends AnyFunSuite {
     val got = spark.table("breaches").as[StreamOps.BudgetBreach].collect()
     assert(got.toSeq == Seq(StreamOps.BudgetBreach("hot.test", 3)))
   }
+
+  test("streaming: stream-stream task correlation joins within the lag bound (J5)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sent = MemoryStream[(Long, java.sql.Timestamp)]
+    val done = MemoryStream[(Long, java.sql.Timestamp)]
+    // base well past epoch: the initial watermark is epoch-0, and with a
+    // 0 s delay an epoch-0 event is dropped as late in the first batch
+    def t(s: Long) = new java.sql.Timestamp((100000L + s) * 1000L)
+    val q = StreamOps.taskCorrelation(
+        sent.toDS().toDF("task_id", "ts"), done.toDS().toDF("task_id", "ts"),
+        maxLag = "1 minute", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("correlated")
+      .outputMode("append").start()
+    // task 1 completes in 30 s (match); task 2's completion arrives 90 s
+    // after dispatch (beyond the 60 s bound — no match); task 3 never
+    // completes; a completion for unknown task 9 matches nothing
+    sent.addData((1L, t(0)), (2L, t(10)), (3L, t(20)))
+    done.addData((1L, t(30)), (2L, t(100)), (9L, t(40)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("correlated")
+      .select($"task_id", $"lag_sec").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 30L)), s"got ${got.toSeq}")
+  }
+
+  test("streaming: foreachBatch snapshot sink commits batches once, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("icesink").toString
+    val ice = new graft.icelite.IceLite(root)
+    val in = MemoryStream[Long]
+    val sink = StreamOps.snapshotSink(ice, "events")
+    val q = in.toDS().toDF("v").writeStream.foreachBatch(sink)
+      .outputMode("append").start()
+    in.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    in.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    val snaps = ice.history.length
+    assert(snaps == 2, s"expected 2 snapshot commits, got $snaps")
+    assert(ice.read(spark, "events").count() == 5)
+    // recovery replay: re-delivering the LAST batch id must not commit
+    sink(Seq(4L, 5L).toDF("v"), 1L)
+    assert(ice.history.length == 2, "replayed batch created a duplicate commit")
+    assert(ice.read(spark, "events").count() == 5)
+    // the next batch id commits normally
+    sink(Seq(6L).toDF("v"), 2L)
+    assert(ice.history.length == 3)
+    assert(ice.read(spark, "events").count() == 6)
+  }
 }
