@@ -228,16 +228,79 @@ class IceLite(val root: String) {
     spark.createDataFrame(rows).toDF("table_name", "dir", "n_rows", "n_bytes", "n_files")
   }
 
-  /** All snapshot ids from head back to the first commit. */
+  /** All snapshot ids from head back to the first commit (or back to
+    * the oldest un-expired manifest — the walk stops where [[expire]]
+    * truncated the chain). */
   def history: Seq[Long] = {
     val b = Vector.newBuilder[Long]
     var cur = currentSnapshotId
-    while (cur.exists(_ > 0)) {
+    while (cur.exists(id => id > 0 && Files.exists(manifestPath(id)))) {
       val id = cur.get
       b += id
       val p = manifest(id).parent
       cur = if (p > 0) Some(p) else None
     }
     b.result()
+  }
+
+  /** Incremental append scan (Iceberg's `incremental read`): the rows
+    * added to `table` AFTER snapshot `fromId`, up to `toId` (default
+    * head). The dir sets of the two manifests are diffed — manifest
+    * arithmetic only, zero data I/O before the scan — so an
+    * incremental recrawl/index consumer processes each wave's delta
+    * exactly once instead of re-scanning the table (the batch
+    * counterpart of the streaming snapshotSink's once-per-batch
+    * contract; pairs with Recrawl.snapshotDiff for row-level diffs).
+    *
+    * A compaction REWRITES dir history (prior dirs are replaced by a
+    * c-dir whose rows duplicate theirs), so an incremental read whose
+    * window crosses a compaction would double-count; that case is
+    * refused with IllegalStateException rather than answered wrong. */
+  def readIncremental(spark: SparkSession, table: String, fromId: Long,
+                      toId: Option[Long] = None,
+                      emptySchema: Option[StructType] = None): DataFrame = {
+    val to = toId.orElse(currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException("no snapshots committed"))
+    val fromDirs = manifest(fromId).tables.getOrElse(table, Seq.empty).toSet
+    val toDirs = manifest(to).tables.getOrElse(table, Seq.empty)
+    val dropped = fromDirs -- toDirs.toSet
+    if (dropped.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshots $fromId..$to rewrite $table dirs (compaction?): ${dropped.mkString(",")}")
+    val newDirs = toDirs.filterNot(fromDirs)
+    if (newDirs.isEmpty) {
+      val schema = emptySchema.getOrElse(
+        throw new IllegalArgumentException(s"no new $table dirs in $fromId..$to and no schema given"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(newDirs: _*)
+  }
+
+  /** Snapshot expiry + physical vacuum (Iceberg's `expire_snapshots`):
+    * keep the newest `keepLast` snapshots, delete older manifests, and
+    * remove data dirs no kept snapshot references. On an append-only
+    * table every dir stays referenced by head, so nothing is freed —
+    * the space this reclaims is exactly the dirs a [[compact]] (or any
+    * rewrite) orphaned behind the kept window. Time travel remains
+    * valid within the kept window; reads at expired ids fail loudly
+    * (manifest gone) instead of returning partial data. Returns
+    * (expired ids, deleted dirs). */
+  def expire(keepLast: Int): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, "must keep at least the head snapshot")
+    val hist = history
+    val drop = hist.drop(keepLast)
+    if (drop.isEmpty) return (Seq.empty, Seq.empty)
+    val kept = hist.take(keepLast)
+    val referenced = kept.flatMap(id => manifest(id).tables.values.flatten).toSet
+    val deletable = drop.flatMap(id => manifest(id).tables.values.flatten)
+      .distinct.filterNot(referenced)
+    deletable.foreach { dir =>
+      val p = Paths.get(dir)
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+    }
+    drop.foreach(id => Files.deleteIfExists(manifestPath(id)))
+    (drop, deletable)
   }
 }

@@ -88,4 +88,55 @@ class IceLiteSpec extends AnyFunSuite {
     val schema = StructType(Seq(StructField("id", LongType)))
     assert(store.read(spark, "nope", None, Some(schema)).isEmpty)
   }
+
+  test("readIncremental: exactly the rows added after `from`; refuses a compaction window") {
+    val root = Files.createTempDirectory("icelite").toString
+    val store = new IceLite(root)
+    val s1 = store.commit(Seq("a" -> Seq((1L, "x")).toDF("id", "v")))
+    val s2 = store.commit(Seq("a" -> Seq((2L, "y")).toDF("id", "v")))
+    val s3 = store.commit(Seq("a" -> Seq((3L, "z")).toDF("id", "v")))
+    // waves 2+3 only — wave 1's rows must not reappear
+    assert(store.readIncremental(spark, "a", s1).select("id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L))
+    // bounded window s1..s2
+    assert(store.readIncremental(spark, "a", s1, Some(s2)).select("id").as[Long].collect()
+      .toSeq == Seq(2L))
+    // empty window needs a schema; with one it returns zero rows
+    val schema = StructType(Seq(StructField("id", LongType)))
+    assert(store.readIncremental(spark, "a", s3, None, Some(schema)).isEmpty)
+    // a compaction inside the window rewrites dirs -> refuse, never double-count
+    store.compact(spark, "a").get
+    intercept[IllegalStateException] {
+      store.readIncremental(spark, "a", s1)
+    }
+    // but a window starting AT the compacted snapshot works again
+    val head = store.currentSnapshotId.get
+    store.commit(Seq("a" -> Seq((4L, "w")).toDF("id", "v")))
+    assert(store.readIncremental(spark, "a", head).select("id").as[Long].collect()
+      .toSeq == Seq(4L))
+  }
+
+  test("expire: drops old manifests, vacuums only dirs no kept snapshot references") {
+    val root = Files.createTempDirectory("icelite").toString
+    val store = new IceLite(root)
+    (1 to 4).foreach { w =>
+      store.commit(Seq("a" -> Seq((w.toLong, s"v$w")).toDF("id", "v")), Map("wave" -> w.toString))
+    }
+    // append-only: every d-dir is still referenced by head -> nothing freed
+    val (dropped0, deleted0) = store.expire(keepLast = 2)
+    assert(dropped0 == Seq(2L, 1L) && deleted0.isEmpty)
+    assert(store.history == Seq(4L, 3L))
+    assert(store.read(spark, "a").count() == 4) // head rows intact
+    intercept[Exception] { store.read(spark, "a", Some(1L)) } // expired id fails loudly
+    // compact, then expire: the pre-compaction d-dirs are orphaned and freed
+    val cid = store.compact(spark, "a").get
+    val (dropped1, deleted1) = store.expire(keepLast = 1)
+    assert(dropped1.nonEmpty && deleted1.nonEmpty, s"expected orphaned dirs, got $deleted1")
+    deleted1.foreach(d => assert(!Files.exists(java.nio.file.Paths.get(d)), s"$d not deleted"))
+    assert(store.history == Seq(cid))
+    assert(store.read(spark, "a").orderBy("id").select("id").as[Long].collect()
+      .toSeq == Seq(1L, 2L, 3L, 4L))
+    // nothing left to expire
+    assert(store.expire(keepLast = 1) == ((Seq.empty, Seq.empty)))
+  }
 }
