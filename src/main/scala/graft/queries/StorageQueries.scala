@@ -67,4 +67,43 @@ object StorageQueries {
       | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q97 (T55): Z-order clustering key — two pseudo-independent
+    * dimensions synthesized from doc_id, bit-interleaved into the
+    * Morton key the write path sorts by. The oracle replays the exact
+    * magic-number dilation chain, so every one of the 5×2 mask steps
+    * must agree bit-for-bit across engines. */
+  def q97Zorder(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.ZOrder
+    val a = (col("doc_id") % 1000).cast("long")
+    val b = ((col("doc_id") * 7919) % 1000).cast("long")
+    documents(s, d)
+      .select(col("doc_id"), a.as("a"), b.as("b"),
+        ZOrder.zkey(a, b).as("zkey"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q97Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, CAST(doc_id % 1000 AS BIGINT) AS a,
+      |  CAST((doc_id * 7919) % 1000 AS BIGINT) AS b
+      | FROM documents),
+      |m0 AS (SELECT doc_id, a, b, a & 4294967295 AS xa, b & 4294967295 AS xb FROM d),
+      |m1 AS (SELECT doc_id, a, b,
+      | (xa | (xa << 16)) & 281470681808895 AS xa,
+      | (xb | (xb << 16)) & 281470681808895 AS xb FROM m0),
+      |m2 AS (SELECT doc_id, a, b,
+      | (xa | (xa << 8)) & 71777214294589695 AS xa,
+      | (xb | (xb << 8)) & 71777214294589695 AS xb FROM m1),
+      |m3 AS (SELECT doc_id, a, b,
+      | (xa | (xa << 4)) & 1085102592571150095 AS xa,
+      | (xb | (xb << 4)) & 1085102592571150095 AS xb FROM m2),
+      |m4 AS (SELECT doc_id, a, b,
+      | (xa | (xa << 2)) & 3689348814741910323 AS xa,
+      | (xb | (xb << 2)) & 3689348814741910323 AS xb FROM m3),
+      |m5 AS (SELECT doc_id, a, b,
+      | (xa | (xa << 1)) & 6148914691236517205 AS xa,
+      | (xb | (xb << 1)) & 6148914691236517205 AS xb FROM m4)
+      |SELECT doc_id, a, b, xa | (xb << 1) AS zkey
+      |FROM m5 ORDER BY doc_id""".stripMargin
 }
