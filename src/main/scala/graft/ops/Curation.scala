@@ -250,4 +250,56 @@ object Curation {
       .orderBy(col("es_key").desc, col(id))
       .limit(k)
   }
+
+  /** T56: exact heavy hitters without a full-tail shuffle (Misra–Gries
+    * candidates + exact verification). Returns every key whose exact
+    * frequency EXCEEDS n/(capacity+1), with its exact count — hot-host
+    * detection over a 10^10-row fetchlog, hot-token detection over a
+    * token stream, without ever shuffling the long tail.
+    *
+    * Why not `groupBy(key).count()`: at 100 TB the distinct-key tail
+    * (most of a web corpus) dominates the exchange. Misra–Gries per
+    * partition (capacity counters, decrement-on-overflow) guarantees
+    * any key with global freq > n/(capacity+1) survives in at least one
+    * partition's counter set (pigeonhole over the partition split), so
+    * the candidate set is a SUPERSET of the answer at O(partitions ×
+    * capacity) rows. The exact pass then counts ONLY candidate-matching
+    * rows: a broadcast semi-join prunes map-side, and the verifying
+    * aggregate shuffles at most `capacity × partitions` distinct keys.
+    * Output is exact and engine-reproducible (the sketch only ever
+    * over-approximates the candidate set; both engines apply the same
+    * integer threshold to exact counts).
+    *
+    * mapPartitions is the documented last resort — used here because
+    * decrement-on-overflow is genuinely per-partition imperative state
+    * no aggregate expression expresses; it touches only the key column.
+    */
+  def heavyHitters(df: DataFrame, key: String, capacity: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val keys = df.select(col(key).cast("string").as("k")).as[String]
+    val candidates = keys.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { k =>
+        counters.get(k) match {
+          case Some(c) => counters(k) = c + 1
+          case None if counters.size < capacity => counters(k) = 1L
+          case None =>
+            // decrement every counter; evict zeros (the MG step)
+            val dead = List.newBuilder[String]
+            counters.keysIterator.foreach { kk =>
+              val c = counters(kk) - 1
+              if (c == 0) dead += kk else counters(kk) = c
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("k").distinct()
+    val n = keys.count()
+    val threshold = n / (capacity + 1)
+    keys.join(broadcast(candidates), "k", "left_semi")
+      .groupBy(col("k").as(key))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > threshold)
+  }
 }

@@ -180,4 +180,57 @@ object Graph {
         .select(lit(direction).as("direction"), col("degree"), col("n_nodes"))
     side("src", "out").unionAll(side("dst", "in"))
   }
+
+  /** T57: exact triangle counting by degree-ordered orientation (the
+    * standard distributed algorithm — Suri & Vassilvitskii's MR
+    * "node-iterator++" / Cohen's orientation trick). Triangle density
+    * separates organic link neighborhoods from link farms (spam cliques
+    * are triangle-dense; Becchetti et al. use local triangle counts for
+    * web-spam detection), so a crawl prioritizer wants this over the
+    * outlink graph.
+    *
+    * The naive wedge join explodes on hubs: a degree-d node contributes
+    * d² wedges (a 10^6-degree hub → 10^12 rows). Orienting every edge
+    * from its lower-(degree, id) endpoint to its higher one caps
+    * oriented out-degree at O(√m), so the wedge join is bounded by
+    * Σ outdeg² = O(m^1.5) TOTAL — the optimal bound — and each triangle
+    * is generated exactly once (its unique lowest-order corner). Input
+    * edges are canonicalized first (self-loops dropped, direction and
+    * duplicates collapsed); the oriented edge table is materialized
+    * ONCE and feeds both wedge sides and the closing semi-join.
+    * Returns one row: (n_triangles). Exact integers.
+    */
+  def triangleCount(edges: DataFrame, src: String = "src",
+                    dst: String = "dst"): DataFrame = {
+    // canon feeds three consumers (degrees, orientation, the closing
+    // probe); oriented feeds both wedge sides — materialize each once
+    val canon = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = canon.select(col("a").as("v"))
+      .unionAll(canon.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // total order (deg, v): orient u -> w iff (deg_u, u) < (deg_w, w)
+    val oriented = canon
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
+      .select(
+        when(col("deg_a") < col("deg_b") ||
+            (col("deg_a") === col("deg_b") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+      .localCheckpoint()
+    val wedges = oriented.select(col("u"), col("w").as("v1"))
+      .join(oriented.select(col("u"), col("w").as("v2")), "u")
+      .filter(col("v1") < col("v2"))
+    // the wedge pair is id-ordered, so the closing undirected edge is
+    // exactly a canonical (min-id, max-id) row — no direction probing
+    wedges.join(canon,
+        col("v1") === col("a") && col("v2") === col("b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

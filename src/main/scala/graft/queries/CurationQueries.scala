@@ -336,4 +336,29 @@ object CurationQueries {
       |agg AS (SELECT doc_id, max(weight) AS weight, max(u) AS es_key FROM keyed GROUP BY 1)
       |SELECT doc_id, weight, es_key FROM agg
       |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
+
+  /** q98 (T56): exact heavy hitters. Three hot hosts carry 20% of rows
+    * each; 47 tail hosts carry <1% each. capacity=8 → threshold n/9
+    * (~11%): only the hot three survive. The MG candidate set varies
+    * with partitioning, but it is always a superset of the answer, and
+    * the verified exact counts + the shared integer threshold make the
+    * output engine- and partitioning-exact (CurationSpec proves the
+    * reshard invariance). */
+  def q98HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val host = when(col("doc_id") % 10 < 6,
+        concat(lit("h"), (col("doc_id") % 3).cast("string")))
+      .otherwise(concat(lit("t"), (col("doc_id") % 47).cast("string")))
+    Curation.heavyHitters(documents(s, d).select(host.as("host")), "host", capacity = 8)
+      .orderBy(col("host"))
+  }
+
+  val q98Sql: String =
+    """WITH k AS (
+      | SELECT CASE WHEN doc_id % 10 < 6 THEN concat('h', doc_id % 3)
+      |  ELSE concat('t', doc_id % 47) END AS host
+      | FROM documents),
+      |thr AS (SELECT count(*) // 9 AS t FROM k)
+      |SELECT host, count(*) AS freq FROM k
+      |GROUP BY host HAVING count(*) > (SELECT t FROM thr)
+      |ORDER BY host""".stripMargin
 }

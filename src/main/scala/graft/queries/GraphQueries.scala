@@ -189,4 +189,27 @@ object GraphQueries {
       |SELECT dst AS doc_id, CAST(n_inlinks AS BIGINT) AS n_inlinks,
       | anchor AS top_anchor, cnt AS top_anchor_count
       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  /** q99 (T57): exact triangle count. Nodes 0..29; each doc contributes
+    * edge (doc_id % 30, (doc_id div 30) % 30) — a dense deterministic
+    * graph (complete at sf0.1) with a large exact triangle count. The
+    * oracle counts by the canonical a<b<c triple join; the Spark side
+    * uses degree-ordered orientation — same number by construction. */
+  def q99Triangles(s: SparkSession, d: String): DataFrame = {
+    val edges = documents(s, d).select(
+      (col("doc_id") % 30).as("src"),
+      expr("(doc_id div 30) % 30").as("dst"))
+    Graph.triangleCount(edges)
+  }
+
+  val q99Sql: String =
+    """WITH e AS (
+      | SELECT DISTINCT least(doc_id % 30, (doc_id // 30) % 30) AS a,
+      |  greatest(doc_id % 30, (doc_id // 30) % 30) AS b
+      | FROM documents
+      | WHERE doc_id % 30 <> (doc_id // 30) % 30)
+      |SELECT count(*) AS n_triangles
+      |FROM e e1
+      |JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin
 }

@@ -393,6 +393,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got.find(_._1 == 3L).get == ((3L, 2L, esKey(3L, 2L))))
   }
 
+  test("heavyHitters (T56): exact counts above n/(c+1); boundary excluded; reshard-stable") {
+    // 27 rows: 'hot' x12, 'warm' x9, 'cold' x3, singles x3.
+    // capacity 2 -> threshold 27/3 = 9: hot (12 > 9) reported,
+    // warm (9 > 9 false — boundary) excluded.
+    val rows = Seq.fill(12)("hot") ++ Seq.fill(9)("warm") ++
+      Seq.fill(3)("cold") ++ Seq("s1", "s2", "s3")
+    for (parts <- Seq(1, 3, 7)) {
+      val df = rows.toDF("host").repartition(parts)
+      val got = Curation.heavyHitters(df, "host", capacity = 2)
+        .as[(String, Long)].collect().toSeq
+      assert(got == Seq(("hot", 12L)), s"parts=$parts got $got")
+    }
+    // generous capacity: everything above the (now tiny) threshold,
+    // exact counts for all
+    val all = Curation.heavyHitters(rows.toDF("host"), "host", capacity = 30)
+      .orderBy(col("freq").desc, col("host"))
+      .as[(String, Long)].collect().toSeq
+    assert(all == Seq(("hot", 12L), ("warm", 9L), ("cold", 3L),
+      ("s1", 1L), ("s2", 1L), ("s3", 1L)))
+  }
+
   test("duplicatedSpans (T53): maximal run merge, within-doc repeats, short docs") {
     // doc 1 and doc 2 share a 10-token phrase (3 overlapping 8-gram
     // starts → ONE maximal span of 10 tokens); doc 3 repeats its own

@@ -173,4 +173,45 @@ class GraphSpec extends AnyFunSuite {
     assert(got("out") == outRef)
     assert(got("in") == inRef)
   }
+
+  private def triangles(edges: Seq[(Long, Long)]): Long =
+    Graph.triangleCount(edges.toDF("src", "dst")).as[Long].head()
+
+  test("triangleCount: known shapes — triangle, square, K4, K5, no-triangle cycle") {
+    // one triangle + a dangling edge
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) == 1L)
+    // a 4-cycle has no triangle
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == 0L)
+    // K4 = C(4,3) = 4; K5 = C(5,3) = 10
+    def clique(n: Long) = for (a <- 0L until n; b <- a + 1 to n - 1) yield (a, b)
+    assert(triangles(clique(4)) == 4L)
+    assert(triangles(clique(5)) == 10L)
+    // two disjoint triangles
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L))) == 2L)
+  }
+
+  test("triangleCount: self-loops, duplicates and reversed duplicates collapse") {
+    assert(triangles(Seq(
+      (1L, 1L),           // self-loop dropped
+      (1L, 2L), (2L, 1L), // both directions = one edge
+      (1L, 2L),           // duplicate
+      (2L, 3L), (3L, 1L))) == 1L)
+  }
+
+  test("triangleCount matches a brute-force reference on a pseudo-random graph") {
+    // deterministic edge set over 20 nodes (same generator family as q99)
+    val edges = (0 until 300).map(i => ((i * 13L) % 20, (i * 7L + 3) % 20))
+    val canon = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.distinct
+    val es = canon.toSet
+    val nodes = canon.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    var ref = 0L
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.length; k <- j + 1 until nodes.length
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if es((a, b)) && es((a, c)) && es((b, c))
+    } ref += 1
+    assert(triangles(edges) == ref, s"expected $ref triangles")
+  }
 }
