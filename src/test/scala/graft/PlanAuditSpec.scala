@@ -364,6 +364,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q98: heavy-hitter verification joins the broadcast candidate set") {
+    // the exact pass must prune via a broadcast semi-join on the tiny
+    // candidate table — a shuffled join would drag the full tail into
+    // an exchange, exactly what the sketch exists to avoid
+    val p = plan("q98_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate prune is not a broadcast semi-join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q99: triangle wedge join reads materialized tables, never a cartesian") {
+    val p = plan("q99_triangles")
+    // canon + oriented are localCheckpoint'd: past them the corpus
+    // never re-scans, and every join is keyed
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q99 re-scans documents $scans times past the checkpoints:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle join degenerated to an unkeyed join:\n${p.take(2000)}")
+  }
+
   test("q96: fair quota joins a 1-row broadcast level; frontier shuffles once on host") {
     val p = plan("q96_fair_quota")
     // the level side is a 1-row broadcast, not a shuffled join
