@@ -280,4 +280,106 @@ object UrlQueries {
       |SELECT counts.host, counts.pending,
       | CAST(least(counts.pending, level.level) AS BIGINT) AS quota
       |FROM counts, level ORDER BY host""".stripMargin
+
+  /** q100 (capstone, T50-T54 composed): the frontier-hygiene pipeline a
+    * production wave runs before fetch selection — strip tracking
+    * params (campaign-link variants collapse in the dedup), template
+    * traps detected and anti-joined out, mirror hosts demoted as a
+    * set, then max-min-fair quotas over what remains. Synthesized
+    * frontier: 8 hosts with quadratic skew, every 5th page a
+    * calendar-trap URL, hosts h6/h7 serving the same content pool
+    * (mirrors — h7 demoted), half the URLs carrying utm noise. Every
+    * stage's semantics is pinned by the one DuckDB oracle.
+    *
+    * Scale shape: the stripped frontier is materialized once and feeds
+    * trap detection + the admission anti-joins; the filtered frontier
+    * is materialized once and feeds the count + quota; all joins are
+    * keyed (host/template equi-joins), quotas are the q96 closed-form
+    * water level. */
+  def q100FrontierPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = floor(sqrt(($"doc_id" % 64).cast("double"))).cast("long")
+    val host = concat(lit("h"), m.cast("string"), lit(".test"))
+    val key = when(m >= 6, ($"doc_id" % 40).cast("string"))
+      .otherwise(concat(m.cast("string"), lit(":"),
+        expr("(doc_id div 64) % 40").cast("string")))
+    val path = when($"doc_id" % 5 === 0,
+        concat(lit("/cal/2020/"), $"doc_id".cast("string")))
+      .otherwise(concat(lit("/p/"), ($"doc_id" % 4).cast("string")))
+    val qstr = when($"doc_id" % 2 === 0,
+        concat(lit("?utm_source=x&id="), ($"doc_id" % 200).cast("string")))
+      .otherwise(concat(lit("?id="), ($"doc_id" % 200).cast("string")))
+    val stripped = documents(s, d)
+      .select(concat(lit("http://"), host, path, qstr).as("url"),
+        host.as("host"), md5(key).as("digest"))
+      .withColumn("url_s", strip_tracking_params($"url"))
+      .localCheckpoint()
+    val traps = graft.ops.Frontier
+      .trapTemplates(stripped.select($"url_s".as("url")), "url", minDistinct = 5L)
+      .filter($"trap").select($"host", $"template")
+    val demoted = graft.ops.Dedup
+      .mirrorHostPairs(stripped.select($"host", $"digest"), "host", "digest",
+        dfCap = 8L, minJaccardPpm = 500000L)
+      .select($"host_b".as("host")).distinct()
+    val fr = stripped
+      .withColumn("template", regexp_replace(url_path($"url_s"), "[0-9]+", "N"))
+      .join(traps, Seq("host", "template"), "left_anti")
+      .join(demoted, Seq("host"), "left_anti")
+      .select($"host", $"url_s").distinct()
+      .localCheckpoint()
+    val cap = fr.count() * 3 / 5
+    graft.ops.Frontier.fairHostQuota(fr, "host", cap).orderBy($"host")
+  }
+
+  val q100Sql: String =
+    """WITH raw AS (
+      | SELECT doc_id,
+      |  concat('h', CAST(CAST(floor(sqrt(doc_id % 64)) AS BIGINT) AS VARCHAR), '.test') AS host,
+      |  CAST(floor(sqrt(doc_id % 64)) AS BIGINT) AS m,
+      |  CASE WHEN doc_id % 5 = 0 THEN concat('/cal/2020/', doc_id)
+      |   ELSE concat('/p/', doc_id % 4) END AS path,
+      |  doc_id % 200 AS idp
+      | FROM documents),
+      |hd AS (
+      | SELECT DISTINCT host,
+      |  md5(CASE WHEN m >= 6 THEN CAST(doc_id % 40 AS VARCHAR)
+      |       ELSE concat(m, ':', CAST((doc_id // 64) % 40 AS VARCHAR)) END) AS digest
+      | FROM raw),
+      |sizes AS (SELECT host, count(*) AS n_pages FROM hd GROUP BY host),
+      |dfreq AS (SELECT digest FROM hd GROUP BY digest
+      | HAVING count(*) >= 2 AND count(*) <= 8),
+      |kept AS (SELECT hd.host, hd.digest FROM hd JOIN dfreq USING (digest)),
+      |mpairs AS (
+      | SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+      | FROM kept a JOIN kept b ON a.digest = b.digest AND a.host < b.host
+      | GROUP BY 1, 2),
+      |demoted AS (
+      | SELECT DISTINCT host_b AS host FROM mpairs
+      | JOIN sizes sa ON sa.host = mpairs.host_a
+      | JOIN sizes sb ON sb.host = mpairs.host_b
+      | WHERE (shared * 1000000) // (sa.n_pages + sb.n_pages - shared) >= 500000),
+      |tmpl AS (
+      | SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+      |  count(DISTINCT path) AS n
+      | FROM raw GROUP BY 1, 2),
+      |traps AS (SELECT host, template FROM tmpl WHERE n >= 5),
+      |fr AS (
+      | SELECT DISTINCT r.host, r.path, r.idp FROM raw r
+      | WHERE NOT EXISTS (SELECT 1 FROM traps t WHERE t.host = r.host
+      |   AND t.template = regexp_replace(r.path, '[0-9]+', 'N', 'g'))
+      |  AND NOT EXISTS (SELECT 1 FROM demoted dm WHERE dm.host = r.host)),
+      |counts AS (SELECT host, count(*) AS pending FROM fr GROUP BY host),
+      |cap AS (SELECT count(*) * 3 // 5 AS c FROM fr),
+      |hist AS (SELECT pending AS c, count(*) AS n_hosts FROM counts GROUP BY pending
+      | UNION ALL SELECT 0, 0),
+      |lv AS (SELECT c, sum(c * n_hosts) OVER (ORDER BY c) AS sum_le,
+      |  sum(n_hosts) OVER () - sum(n_hosts) OVER (ORDER BY c) AS hosts_gt,
+      |  max(c) OVER () AS c_max FROM hist),
+      |level AS (SELECT CASE WHEN hosts_gt = 0 THEN c_max
+      |  ELSE c + ((SELECT c FROM cap) - (sum_le + hosts_gt * c)) // hosts_gt END AS level
+      | FROM lv WHERE sum_le + hosts_gt * c <= (SELECT c FROM cap)
+      | ORDER BY c DESC LIMIT 1)
+      |SELECT counts.host, counts.pending,
+      | CAST(least(counts.pending, level.level) AS BIGINT) AS quota
+      |FROM counts, level ORDER BY host""".stripMargin
 }

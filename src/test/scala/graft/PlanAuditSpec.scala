@@ -384,6 +384,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"triangle join degenerated to an unkeyed join:\n${p.take(2000)}")
   }
 
+  test("q100: composed frontier-hygiene pipeline keeps every join keyed") {
+    // the anti-join stages are materialized inside the checkpoints (and
+    // audited via their component ops); the FINAL plan must read the
+    // checkpointed frontier — zero corpus re-scans — and join the
+    // 1-row quota level as a broadcast, never a shuffled cartesian
+    val p = plan("q100_frontier_pipe")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q100 re-scans documents $scans times past the checkpoints:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"q100 degenerated to a cartesian:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"quota level join is not broadcast:\n${p.take(2000)}")
+  }
+
   test("q96: fair quota joins a 1-row broadcast level; frontier shuffles once on host") {
     val p = plan("q96_fair_quota")
     // the level side is a 1-row broadcast, not a shuffled join
