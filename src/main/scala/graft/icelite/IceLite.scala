@@ -296,8 +296,12 @@ class IceLite(val root: String) {
     deletable.foreach { dir =>
       val p = Paths.get(dir)
       if (Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        // Files.walk holds directory handles until closed — a periodic
+        // expire over many dirs would otherwise leak fds
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.delete(f))
+        finally walk.close()
       }
     }
     drop.foreach(id => Files.deleteIfExists(manifestPath(id)))

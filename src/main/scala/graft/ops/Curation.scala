@@ -276,8 +276,11 @@ object Curation {
     */
   def heavyHitters(df: DataFrame, key: String, capacity: Int): DataFrame = {
     import df.sparkSession.implicits._
-    val keys = df.select(col(key).cast("string").as("k")).as[String]
-    val candidates = keys.mapPartitions { it =>
+    // the key projection feeds three consumers (the MG pass, the total
+    // count, the exact verification) — materialize it once, in the
+    // ORIGINAL key type so the output schema matches the input's
+    val sel = df.select(col(key)).localCheckpoint()
+    val candidates = sel.select(col(key).cast("string")).as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { k =>
         counters.get(k) match {
@@ -295,10 +298,10 @@ object Curation {
       }
       counters.keysIterator
     }.toDF("k").distinct()
-    val n = keys.count()
+    val n = sel.count()
     val threshold = n / (capacity + 1)
-    keys.join(broadcast(candidates), "k", "left_semi")
-      .groupBy(col("k").as(key))
+    sel.join(broadcast(candidates), col(key).cast("string") === col("k"), "left_semi")
+      .groupBy(col(key))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") > threshold)
   }

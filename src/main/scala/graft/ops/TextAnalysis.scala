@@ -394,8 +394,12 @@ object TextAnalysis {
     * is reported as a maximal duplicated span. Suffix arrays are the
     * single-machine tool; the distributed equivalent is sliding
     * k-grams + a corpus-wide occurrence count + per-document merging
-    * of consecutive duplicated gram starts into maximal runs — a run
-    * of starts [a..b] covers tokens [a, b+k-1].
+    * of duplicated gram starts into maximal runs. Two starts merge
+    * when their gap is <= k — their token coverages overlap or abut,
+    * even when the grams BETWEEN them are unique (two different
+    * duplication sources meeting) — so reported spans never overlap
+    * and cover each maximal duplicated token region exactly once; a
+    * run of starts [a..b] covers tokens [a, b+k-1].
     *
     * Returns one row per (id, span): (id, span_start, span_end,
     * span_tokens), positions 0-based over the C3 token stream. All
@@ -429,10 +433,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccurrences)
       .select(col("gram_h"))
-    val runGrp = col("pos") -
-      row_number().over(Window.partitionBy(col(id)).orderBy(col("pos")))
+    // gap-aware run ids: a new run starts when the previous duplicated
+    // start is more than k back (null lag -> first row also starts one);
+    // both windows share one (id, pos) partitioning/sort — one exchange
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
     grams.join(dup, Seq("gram_h"), "left_semi")
-      .withColumn("grp", runGrp)
+      .withColumn("new_run",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("grp", sum(col("new_run")).over(w))
       .groupBy(col(id), col("grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) + k - 1).cast("long").as("span_end"))

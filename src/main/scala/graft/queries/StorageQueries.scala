@@ -88,7 +88,7 @@ object StorageQueries {
       | SELECT doc_id, CAST(doc_id % 1000 AS BIGINT) AS a,
       |  CAST((doc_id * 7919) % 1000 AS BIGINT) AS b
       | FROM documents),
-      |m0 AS (SELECT doc_id, a, b, a & 4294967295 AS xa, b & 4294967295 AS xb FROM d),
+      |m0 AS (SELECT doc_id, a, b, a & 2147483647 AS xa, b & 2147483647 AS xb FROM d),
       |m1 AS (SELECT doc_id, a, b,
       | (xa | (xa << 16)) & 281470681808895 AS xa,
       | (xb | (xb << 16)) & 281470681808895 AS xb FROM m0),

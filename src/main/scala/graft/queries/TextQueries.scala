@@ -473,10 +473,15 @@ object TextQueries {
       | FROM t WHERE len(tk) >= 8),
       |pos AS (SELECT doc_id, s.p AS pos, s.g AS gram FROM g),
       |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+      |dp AS (
+      | SELECT doc_id, pos,
+      |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      | FROM pos WHERE gram IN (SELECT gram FROM dup)),
       |runs AS (
       | SELECT doc_id, pos,
-      |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      | FROM pos WHERE gram IN (SELECT gram FROM dup))
+      |  sum(CASE WHEN prev IS NOT NULL AND pos - prev <= 8 THEN 0 ELSE 1 END)
+      |   OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      | FROM dp)
       |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
       | max(pos) - min(pos) + 8 AS span_tokens
       |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin

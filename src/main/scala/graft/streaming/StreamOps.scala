@@ -90,16 +90,26 @@ object StreamOps {
     * idempotent replay: Structured Streaming re-delivers the last
     * batch after recovery, and the sink skips any batch id at or below
     * the one already committed (the same batchId-dedup contract
-    * Spark's own transactional sinks document). Usage:
+    * Spark's own transactional sinks document).
+    *
+    * The guard walks the snapshot HISTORY for the newest commit
+    * carrying this sink's key — checking only the head would forget
+    * the batch id as soon as any other writer (a batch job, another
+    * stream) committed in between, and the key is namespaced per table
+    * so two streams landing different tables in one store don't
+    * clobber each other's progress. Batch ids are monotonic, so the
+    * newest occurrence is the max. Usage:
     * `stream.writeStream.foreachBatch(StreamOps.snapshotSink(ice, "t")).start()`. */
-  def snapshotSink(ice: graft.icelite.IceLite, table: String): (DataFrame, Long) => Unit =
+  def snapshotSink(ice: graft.icelite.IceLite, table: String): (DataFrame, Long) => Unit = {
+    val metaKey = s"stream_batch_id:$table"
     (batch, batchId) => {
-      val committed = ice.currentSnapshotId
-        .flatMap(id => ice.commitMeta(id).get("stream_batch_id")).map(_.toLong)
+      val committed = ice.history.iterator
+        .flatMap(id => ice.commitMeta(id).get(metaKey))
+        .map(_.toLong).nextOption()
       if (!committed.exists(_ >= batchId))
-        ice.commit(Seq(table -> batch),
-          meta = Map("stream_batch_id" -> batchId.toString))
+        ice.commit(Seq(table -> batch), meta = Map(metaKey -> batchId.toString))
     }
+  }
 
   case class FetchEvent(host: String, url: String)
   case class BudgetBreach(host: String, nFetches: Long)

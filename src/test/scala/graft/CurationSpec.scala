@@ -412,6 +412,13 @@ class CurationSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(all == Seq(("hot", 12L), ("warm", 9L), ("cold", 3L),
       ("s1", 1L), ("s2", 1L), ("s3", 1L)))
+    // a non-string key keeps its type in the output schema (the MG
+    // sketch stringifies internally; the verified output must not)
+    val longKeyed = (Seq.fill(5)(7L) ++ Seq(1L, 2L)).toDF("host_id")
+    val out = Curation.heavyHitters(longKeyed, "host_id", capacity = 2)
+    assert(out.schema("host_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.as[(Long, Long)].collect().toSeq == Seq((7L, 5L)))
   }
 
   test("duplicatedSpans (T53): maximal run merge, within-doc repeats, short docs") {
@@ -445,5 +452,26 @@ class CurationSpec extends AnyFunSuite {
       .orderBy(col("doc_id"))
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 0L, 8L, 9L), (2L, 0L, 8L, 9L)))
+  }
+
+  test("duplicatedSpans: overlapping spans with a unique gram between them merge once") {
+    // doc 1's grams at starts 0 and 2 are duplicated (against two
+    // DIFFERENT sources); its gram at start 1 is unique. The token
+    // coverages [0,7] and [2,9] overlap, so the output must be ONE
+    // maximal span [0,9] — not two overlapping rows double-counting
+    // tokens 2..7.
+    val w = (0 to 9).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),                 // w0..w9
+      (2L, w.take(8).mkString(" ")),         // w0..w7  (dups start 0)
+      (3L, w.drop(2).mkString(" "))          // w2..w9  (dups start 2)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 9L, 10L),
+      (2L, 0L, 7L, 8L),
+      (3L, 0L, 7L, 8L)))
   }
 }

@@ -243,9 +243,14 @@ class SearchAndStreamSpec extends AnyFunSuite {
     sink(Seq(4L, 5L).toDF("v"), 1L)
     assert(ice.history.length == 2, "replayed batch created a duplicate commit")
     assert(ice.read(spark, "events").count() == 5)
+    // an interleaved NON-stream commit (another writer, no batch-id
+    // meta) must not reset the guard: the replay check walks history
+    ice.commit(Seq("other" -> Seq(9L).toDF("v")))
+    sink(Seq(4L, 5L).toDF("v"), 1L)
+    assert(ice.read(spark, "events").count() == 5,
+      "replay after an interleaved foreign commit double-committed")
     // the next batch id commits normally
     sink(Seq(6L).toDF("v"), 2L)
-    assert(ice.history.length == 3)
     assert(ice.read(spark, "events").count() == 6)
   }
 }

@@ -14,27 +14,30 @@ class ZOrderSpec extends AnyFunSuite {
   /** Bit-by-bit reference interleave: bit i of a → 2i, bit i of b → 2i+1. */
   private def mortonRef(a: Long, b: Long): Long = {
     var z = 0L
-    for (i <- 0 until 32) {
+    for (i <- 0 until 31) {
       z |= ((a >> i) & 1L) << (2 * i)
       z |= ((b >> i) & 1L) << (2 * i + 1)
     }
     z
   }
 
-  test("zkey matches the bit-by-bit reference, including 32-bit extremes") {
+  test("zkey matches the bit-by-bit reference; full-domain keys stay non-negative") {
     val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 0L), (0L, 255L),
-      (12345L, 54321L), (0xFFFFFFFFL, 0L), (0L, 0xFFFFFFFFL),
-      (0xFFFFFFFFL, 0xFFFFFFFFL), (0x12345678L, 0x9ABCDEF0L))
+      (12345L, 54321L), (0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL),
+      (0x7FFFFFFFL, 0x7FFFFFFFL), (0x12345678L, 0x1ABCDEF0L))
     val got = cases.toDF("a", "b")
       .select($"a", $"b", ZOrder.zkey($"a", $"b").as("z"))
       .as[(Long, Long, Long)].collect()
     got.foreach { case (a, b, z) =>
       assert(z == mortonRef(a, b), s"zkey($a, $b)")
+      // a signed sort of the key must BE curve order — a key with the
+      // sign bit set would order the domain's top half first
+      assert(z >= 0L, s"zkey($a, $b) negative")
     }
-    // dims above 32 bits are masked off, matching the documented domain
-    val masked = Seq((0x1FFFFFFFFL, 0L)).toDF("a", "b")
+    // dims above 31 bits are masked off, matching the documented domain
+    val masked = Seq((0x1FFFFFFFFL, 0xFFFFFFFFL)).toDF("a", "b")
       .select(ZOrder.zkey($"a", $"b")).as[Long].head()
-    assert(masked == mortonRef(0xFFFFFFFFL, 0L))
+    assert(masked == mortonRef(0x7FFFFFFFL, 0x7FFFFFFFL))
   }
 
   test("sorting a full grid by zkey yields perfect quadrant envelopes per chunk") {
