@@ -38,6 +38,16 @@ import org.apache.spark.util.sketch.BloomFilter
  *    never collected to the driver. Candidates shuffle once on the same
  *    bucket key and are classified per-bucket via cogroup — each task
  *    deserializes only the sketches of the buckets it owns.
+ *
+ * Bloom over cuckoo (the north rule permits either): a crawl seen-set
+ * is insert-only — URLs are never un-seen — so cuckoo's one advantage
+ * (deletion) buys nothing here, while Bloom's bitwise-OR merge is what
+ * makes the sketch buildable as a Spark partial aggregate at all
+ * (cuckoo tables don't union: merging two independently-built tables
+ * can exceed bucket capacity and force rehash/eviction cycles, which
+ * cannot be expressed as an associative TypedImperativeAggregate
+ * merge). Same-capability space, strictly better distributed-build
+ * properties.
  */
 object UrlSeen {
 

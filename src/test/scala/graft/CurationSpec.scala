@@ -454,6 +454,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L, 8L, 9L), (2L, 0L, 8L, 9L)))
   }
 
+  test("duplicatedSpans: randomized — spans disjoint, >= k tokens, cover exactly the duplicated grams") {
+    // deterministic pseudo-random corpus over a tiny vocabulary (so
+    // duplication is rife), checked against a brute-force reference
+    val k = 4
+    val rnd = new scala.util.Random(20260820L)
+    val docs = (0L until 12L).map { id =>
+      (id, Seq.fill(6 + rnd.nextInt(20))("t" + rnd.nextInt(6)).mkString(" "))
+    }
+    val got = TextAnalysis.duplicatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = k)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq).toMap
+    // brute force: count every k-gram globally, mark duplicated starts,
+    // merge starts with gap <= k
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val freq = toks.values.flatMap(ts => ts.sliding(k).filter(_.size == k).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    docs.foreach { case (id, _) =>
+      val ts = toks(id)
+      val starts = (0 to ts.size - k).filter(i => freq(ts.slice(i, i + k).mkString(" ")) >= 2)
+      val expected = starts.foldLeft(Vector.empty[(Long, Long)]) { case (acc, s) =>
+        acc.lastOption match {
+          case Some((a, b)) if s <= b - k + 1 + k => acc.init :+ (a, (s + k - 1).toLong)
+          case _ => acc :+ ((s.toLong, (s + k - 1).toLong))
+        }
+      }
+      assert(got.getOrElse(id, Seq.empty) == expected, s"doc $id")
+      // structural invariants: disjoint, ordered, each >= k tokens
+      expected.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 > e1, s"doc $id spans overlap")
+        case _ =>
+      }
+      expected.foreach { case (s, e) => assert(e - s + 1 >= k) }
+    }
+  }
+
   test("duplicatedSpans: overlapping spans with a unique gram between them merge once") {
     // doc 1's grams at starts 0 and 2 are duplicated (against two
     // DIFFERENT sources); its gram at start 1 is unique. The token

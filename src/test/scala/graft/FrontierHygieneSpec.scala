@@ -96,4 +96,30 @@ class FrontierHygieneSpec extends AnyFunSuite {
     // zero capacity: all quotas zero
     assert(quotas(Seq(("a", 4), ("b", 6)), 0) == Map("a" -> 0L, "b" -> 0L))
   }
+
+  test("T54: randomized — quotas feasible, max-min shape, level maximal") {
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 6) {
+      val demands = (0 until 3 + rnd.nextInt(8)).map(i => s"h$i" -> (1 + rnd.nextInt(30)))
+      val total = demands.map(_._2.toLong).sum
+      val cap = rnd.nextInt(1 + 2 * total.toInt).toLong
+      val q = quotas(demands, cap)
+      val d = demands.toMap.view.mapValues(_.toLong).toMap
+      // feasible and within demand
+      assert(q.values.sum <= cap || total <= cap, s"trial $trial infeasible")
+      q.foreach { case (h, v) => assert(v <= d(h) && v >= 0, s"trial $trial $h") }
+      if (total <= cap) {
+        assert(q == d, s"trial $trial: everything fits but demand unmet")
+      } else {
+        // max-min shape: some level L with quota = min(demand, L)
+        val clamped = q.filter { case (h, v) => v < d(h) }.values
+        assert(clamped.toSet.size <= 1, s"trial $trial: clamped hosts at unequal levels: $q")
+        val level = clamped.headOption.getOrElse(q.values.max)
+        assert(q == d.view.mapValues(_ min level).toMap, s"trial $trial shape")
+        // maximality: level+1 would exceed capacity
+        assert(d.values.map(_ min (level + 1)).sum > cap,
+          s"trial $trial: level $level not maximal for cap $cap")
+      }
+    }
+  }
 }
