@@ -296,6 +296,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** T59: asymmetric containment (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES '97 §2): for a doc pair,
+    * C(A,B) = |S(A) ∩ S(B)| / |S(A)|. Resemblance (Jaccard, q23) is
+    * symmetric and misses the commonest web-dup shape — a short doc
+    * quoted whole inside a longer one (wrapper pages, syndicated
+    * snippets, boilerplate-padded mirrors): the union denominator
+    * dilutes the overlap below any sane Jaccard cut while containment
+    * of the short side is ~1. A training-data pipeline wants these
+    * pairs too (the long doc memorizes the short one verbatim).
+    *
+    * One (doc_a < doc_b) pair table carries BOTH directions: the pair
+    * shuffle happens once and each direction reads its own
+    * denominator, so emitting the asymmetric score costs nothing over
+    * q23. Scores are exact integer fixed-point (ppm, floor division)
+    * so thresholds are engine- and partitioning-stable. The shingle
+    * table is materialized once and feeds sizes + both join sides
+    * (the q21 recompute lesson, VERDICT r1); the widest shuffle is the
+    * shingle equi-join, identical to q23's — never all-pairs.
+    */
+  def containment(df: DataFrame, id: String, text: String, n: Int,
+                  minContainPpm: Long): DataFrame = {
+    val sh = shingles(df, id, text, n).localCheckpoint()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("shingle"), col(id).as("doc_a"))
+    val b = sh.select(col("shingle"), col(id).as("doc_b"))
+    val inter = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col(id).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("cont_a_in_b_ppm", expr("(n_inter * 1000000) div sz_a"))
+      .withColumn("cont_b_in_a_ppm", expr("(n_inter * 1000000) div sz_b"))
+      .filter(greatest(col("cont_a_in_b_ppm"), col("cont_b_in_a_ppm")) >= minContainPpm)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("cont_a_in_b_ppm"), col("cont_b_in_a_ppm"))
+  }
+
   /** T52: mirror-host detection (Bharat & Broder, "Mirror, mirror on
     * the Web"): hosts serving near-identical page SETS. Input is one
     * (host, digest) row per fetched page — in the pipeline that's a

@@ -373,4 +373,30 @@ object DedupQueries {
       |JOIN sizes sb ON sb.host = pairs.host_b
       |WHERE (shared * 1000000) // (sa.n_pages + sb.n_pages - shared) >= 200000
       |ORDER BY host_a, host_b""".stripMargin
+
+  /** q101: asymmetric 2-gram containment (Broder) >= 40% in either
+    * direction — catches short-doc-inside-long-doc dups that symmetric
+    * Jaccard (q23) under-scores. */
+  def q101Containment(s: SparkSession, d: String): DataFrame =
+    Dedup.containment(documents(s, d), "doc_id", "text", n = 2, minContainPpm = 400000L)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val q101Sql: String =
+    tokCte +
+      """,
+        |sh AS (
+        | SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(greatest(len(tk) - 1, 0)), i -> tk[i+1] || ' ' || tk[i+2])) AS shingle
+        | FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        | (n_inter * 1000000) // sa.sz AS cont_a_in_b_ppm,
+        | (n_inter * 1000000) // sb.sz AS cont_b_in_a_ppm
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE greatest((n_inter * 1000000) // sa.sz, (n_inter * 1000000) // sb.sz) >= 400000
+        |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -202,6 +202,40 @@ object Relational {
       |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** q102: A2's 10^10-frontier scale path — per-group distinct
+    * cardinality by HyperLogLog++ sketch (`approx_count_distinct`,
+    * Heule et al. 2013) instead of exact count(DISTINCT ...). Exact
+    * distinct shuffles every key to its group (at a 10^10-URL frontier
+    * the "visited per host" key set IS the frontier); the HLL sketch
+    * is a few KB per group, built map-side and merged — the only thing
+    * that crosses the wire is sketches, and the same sketch merge is
+    * what a monitor node would hold incrementally.
+    *
+    * The query is its own error gate: it emits a group only if the
+    * estimate lands within 5 standard errors (rsd=0.02) of the exact
+    * count computed alongside, and PROJECTS the exact count — so a
+    * broken sketch drops rows and the DuckDB hash compare (which
+    * re-derives the exact counts) goes red. Spark's HLL++ is
+    * deterministic for fixed data, but its estimates are
+    * implementation-specific, so the estimate itself stays out of the
+    * compared columns (DuckDB's approx_distinct uses a different
+    * sketch; comparing estimates cross-engine would be meaningless). */
+  def q102HllDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"),
+           approx_count_distinct($"user_id", rsd = 0.02).as("__n_hll"))
+      .filter(abs($"__n_hll" - $"n_exact") <=
+        lit(5) * lit(0.02) * $"n_exact" + lit(1))
+      .select($"event_type", $"n_exact")
+      .orderBy($"event_type")
+  }
+
+  val q102Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q11: UNION ALL + group (frontier += new links, §2.6). */
   def q11Union(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

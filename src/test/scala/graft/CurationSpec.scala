@@ -509,4 +509,22 @@ class CurationSpec extends AnyFunSuite {
       (2L, 0L, 7L, 8L),
       (3L, 0L, 7L, 8L)))
   }
+
+  test("T59: containment flags short-doc-in-long-doc pairs Jaccard misses") {
+    // doc 1's three 2-gram shingles all appear in doc 2 (9 shingles):
+    // containment(1 in 2) = 3/3 = 1.0, but Jaccard = 3/9 = 0.33 —
+    // a 0.5 Jaccard cut misses the pair; the containment cut keeps it.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words alpha beta gamma delta more tail words here"),
+      (3L, "totally unrelated content with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containment(docs, "doc_id", "text", n = 2, minContainPpm = 900000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 1000000L, 333333L)))
+    assert(Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, minJaccard = 0.5).count() == 0L)
+    // raising the cut above both directions drops the pair
+    assert(Dedup.containment(docs, "doc_id", "text", n = 2,
+      minContainPpm = 1000001L).count() == 0L)
+  }
 }
