@@ -382,4 +382,40 @@ object UrlQueries {
       |SELECT counts.host, counts.pending,
       | CAST(least(counts.pending, level.level) AS BIGINT) AS quota
       |FROM counts, level ORDER BY host""".stripMargin
+
+  /** q103 (T61): SURT clustering key over a subdomain-rich synthetic
+    * frontier. The output carries the registered domain alongside the
+    * key so the oracle pins BOTH the transform and what it buys: rows
+    * sorted by `surt` put each domain's subdomains in one contiguous
+    * range (the min/max-footer pruning property; see
+    * `urlfunctions.surt_key`). */
+  def q103SurtKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = element_at(
+      array(lit(""), lit("www."), lit("news."), lit("img."), lit("cdn.")),
+      (($"doc_id" % 5) + 1).cast("int"))
+    val raw = concat(lit("http://"), sub, lit("dom"), ($"doc_id" % 7).cast("string"),
+      lit(".example.test/p/"), $"doc_id".cast("string"), lit("?s=1"))
+    documents(s, d)
+      .select($"doc_id", canonicalize_url(raw).as("url"))
+      .withColumn("surt", surt_key($"url"))
+      .withColumn("reg_domain",
+        concat(lit("dom"), ($"doc_id" % 7).cast("string"), lit(".example.test")))
+      .select($"doc_id", $"url", $"surt", $"reg_domain")
+      .orderBy($"surt", $"doc_id")
+  }
+
+  val q103Sql: String =
+    """WITH u AS (
+      | SELECT doc_id,
+      |  CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'news.'
+      |                  WHEN 3 THEN 'img.' ELSE 'cdn.' END AS sub,
+      |  'dom' || (doc_id % 7) || '.example.test' AS reg_domain
+      | FROM documents)
+      |SELECT doc_id,
+      | 'http://' || sub || reg_domain || '/p/' || doc_id || '?s=1' AS url,
+      | array_to_string(list_reverse(string_split(sub || reg_domain, '.')), ',')
+      |   || ')/p/' || doc_id || '?s=1' AS surt,
+      | reg_domain
+      |FROM u ORDER BY surt, doc_id""".stripMargin
 }

@@ -160,4 +160,35 @@ object urlfunctions {
       .when(size(kept) === 0, base)
       .otherwise(concat(base, lit("?"), array_join(kept, "&")))
   }
+
+  /** T61: SURT clustering key (Sort-friendly URI Reordering Transform —
+    * the Heritrix/Common-Crawl CDX index ordering): host labels
+    * reversed and comma-joined, then `)` and the path+query, e.g.
+    * `http://news.example.test/a?x=1` → `test,example,news)/a?x=1`.
+    *
+    * Why a crawl store sorts/partitions by this instead of the raw URL:
+    * lexicographic SURT order groups every subdomain of a registered
+    * domain into one contiguous key range (`test,example,` is a shared
+    * prefix of all `*.example.test` hosts), so per-file min/max footer
+    * stats prune whole-domain scans ("everything under example.test")
+    * to a handful of files — the same stats-pruning mechanism q97's
+    * Z-order key serves for two numeric dimensions, here for the
+    * hierarchical string dimension a frontier is actually queried by.
+    * Raw-URL order scatters subdomains across the whole keyspace
+    * (news.example.test and example.test sort far apart).
+    *
+    * Pure built-in column logic (split + reverse + array_join +
+    * regexp_replace) over the canonical URL — stays in whole-stage
+    * codegen; expects [[canonicalize_url]] output (lowercased host,
+    * scheme present). */
+  def surt_key(c: Column): Column = {
+    import org.apache.spark.sql.functions.{array_join, regexp_replace, reverse, split}
+    val host = url_host(c)
+    val revHost = array_join(reverse(split(host, "\\.")), ",")
+    // path + query: strip "scheme://authority"; empty path → "/"
+    val rest = regexp_replace(c, "^[a-z][a-z0-9+.-]*://[^/?]*", "")
+    when(host.isNull, null)
+      .otherwise(concat(revHost, lit(")"),
+        when(length(rest) === 0, lit("/")).otherwise(rest)))
+  }
 }

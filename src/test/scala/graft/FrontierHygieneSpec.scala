@@ -122,4 +122,34 @@ class FrontierHygieneSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def surt(u: String): String =
+    Seq(u).toDF("url").select(surt_key($"url")).as[String].head()
+
+  test("T61: surt_key reverses host labels, keeps path+query, handles edge shapes") {
+    assert(surt("http://news.example.test/a/b?x=1") == "test,example,news)/a/b?x=1")
+    assert(surt("http://example.test/a") == "test,example)/a")
+    // bare-host URL: empty path becomes "/"
+    assert(surt("http://example.test") == "test,example)/")
+    assert(surt("https://cdn.img.example.test/x") == "test,example,img,cdn)/x")
+  }
+
+  test("T61: sorting by surt_key makes each registered domain one contiguous range") {
+    val hosts = Seq(
+      "example.test", "news.example.test", "www.example.test",
+      "examplf.test", "a.examplf.test",
+      "other.test", "z.other.test")
+    val rows = hosts.map(h => s"http://$h/p").toDF("url")
+      .withColumn("surt", surt_key($"url"))
+      .withColumn("dom", regexp_extract($"url", "([a-z]+\\.test)/", 1))
+    def contiguous(ordered: Seq[String]): Boolean =
+      ordered.zipWithIndex.groupBy(_._1).values.forall { g =>
+        val idx = g.map(_._2); idx.max - idx.min + 1 == idx.size
+      }
+    val bySurt = rows.orderBy($"surt").as[(String, String, String)].collect().map(_._3).toSeq
+    val byUrl = rows.orderBy($"url").as[(String, String, String)].collect().map(_._3).toSeq
+    assert(contiguous(bySurt), s"surt order scattered a domain: $bySurt")
+    // raw-URL order interleaves subdomains of different domains
+    assert(!contiguous(byUrl), s"expected raw order to scatter: $byUrl")
+  }
 }
