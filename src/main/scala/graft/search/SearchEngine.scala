@@ -192,6 +192,9 @@ class SearchEngine(spark: SparkSession, docs: DataFrame,
       .limit(k)
 
     val contentTerms = qterms.filter(_.field.forall(_ == "content")).map(_.term).distinct
+    // Scala UDF is acceptable ONLY here: it runs strictly after the
+    // top-k cut, over <= k presentation rows — never corpus-wide (the
+    // scoring path above is all built-in column logic).
     val hl = SearchEngine.highlightUdf
     topk
       .join(docs.select($"url", $"title", $"domain", $"content"), "url")

@@ -407,4 +407,28 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = "documents\\.parquet".r.findAllIn(p).length
     assert(scans == 0, s"q96 re-scans the frontier $scans times past the checkpoint:\n${p.take(2000)}")
   }
+
+  test("q101: containment pair join reads the materialized shingle table once") {
+    // same invariant as q21/q23: the shingle explode is localCheckpointed,
+    // so the corpus parquet never appears in the pair-join plan
+    val p = plan("q101_containment")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q101 re-scans documents $scans times past the checkpoint:\n${p.take(2000)}")
+  }
+
+  test("q102: HLL sketch aggregate is partial (map-side) before the group exchange") {
+    val p = plan("q102_hll_distinct")
+    assert(p.contains("approx_count_distinct"), s"no HLL aggregate in plan:\n${p.take(2000)}")
+    // one scan of events feeds both the exact gate and the sketch
+    val scans = "events\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"q102 scans events $scans times:\n${p.take(2000)}")
+  }
+
+  test("q103: surt key is pure column logic — no UDF, scan prunes to doc_id") {
+    val p = plan("q103_surt_key")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"surt path fell out of codegen:\n${p.take(2000)}")
+    // URLs are synthesized from doc_id only; column pruning must drop `text`
+    assert(!p.contains("text"), s"q103 scan reads unused text column:\n${p.take(2000)}")
+  }
 }
