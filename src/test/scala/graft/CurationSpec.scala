@@ -527,4 +527,34 @@ class CurationSpec extends AnyFunSuite {
     assert(Dedup.containment(docs, "doc_id", "text", n = 2,
       minContainPpm = 1000001L).count() == 0L)
   }
+
+  test("T59: randomized — containment matches brute force, dominates Jaccard, small side dominates") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (1L to 24L).map { id =>
+      val n = 2 + rnd.nextInt(10)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val got = Dedup.containment(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 2, minContainPpm = 1L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val byId = docs.toMap
+    for (a <- 1L to 24L; b <- (a + 1) to 24L) {
+      val (sa, sb) = (shingleSet(byId(a)), shingleSet(byId(b)))
+      val inter = (sa intersect sb).size.toLong
+      if (inter > 0) {
+        val (gi, cab, cba) = got((a, b))
+        assert(gi == inter, s"pair ($a,$b): n_inter $gi != $inter")
+        assert(cab == inter * 1000000L / sa.size && cba == inter * 1000000L / sb.size)
+        // C(A,B) >= J(A,B) always (denominator |S(A)| <= |union|)
+        val jPpm = inter * 1000000L / (sa.size + sb.size - inter)
+        assert(cab >= jPpm && cba >= jPpm)
+        // the smaller shingle set is the more-contained side
+        if (sa.size <= sb.size) assert(cab >= cba) else assert(cba >= cab)
+      } else assert(!got.contains((a, b)))
+    }
+  }
 }
