@@ -109,6 +109,52 @@ object Dedup {
       .distinct()
   }
 
+  /** T62: incremental dedup candidates — a NEW BATCH against the
+    * EXISTING corpus. The shape a 100-TB ingest pipeline actually
+    * runs: the corpus never self-joins per ingest; its MinHash band
+    * table is built once and appended to in the store (the
+    * localCheckpoint here stands in for reading that staging table),
+    * and each incoming batch joins only its OWN bands against it. The
+    * widest shuffle is |batch bands| plus the matching corpus buckets
+    * — independent of corpus size for a fixed batch — and when the
+    * batch is small its band table broadcasts outright. Same banded
+    * md5 scheme as [[minhashCandidates]], so stored signatures are
+    * reusable across both paths. */
+  def incrementalCandidates(batch: DataFrame, corpus: DataFrame, id: String, text: String,
+                            n: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bBands = lshBands(minhashSignatures(batch, id, text, n, k).localCheckpoint(),
+        id, k, rowsPerBand)
+      .select(col("band_id"), col("band_hash"), col(id).as("batch_id"))
+    val cBands = lshBands(minhashSignatures(corpus, id, text, n, k).localCheckpoint(),
+        id, k, rowsPerBand)
+      .select(col("band_id"), col("band_hash"), col(id).as("corpus_id"))
+    bBands.join(cBands, Seq("band_id", "band_hash"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard evaluated ONLY for the given candidate
+    * pairs: docs are semi-joined down to the ids the pairs mention
+    * before shingling, and co-shingle pairs are semi-joined back to
+    * the candidate list before the count aggregation — LSH bounds the
+    * candidates, this bounds the verification to them. Integer-ppm
+    * scores (engine- and partitioning-stable thresholds). */
+  def jaccardForPairs(docs: DataFrame, id: String, text: String, n: Int,
+                      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ids = pairs.select(col(aCol).as(id)).union(pairs.select(col(bCol).as(id))).distinct()
+    val sh = shingles(docs.join(ids, Seq(id), "left_semi"), id, text, n).localCheckpoint()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("shingle"), col(id).as(aCol))
+      .join(sh.select(col("shingle"), col(id).as(bCol)), "shingle")
+      .join(pairs, Seq(aCol, bCol), "left_semi")
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as(aCol), col("sz").as("sz_a")), aCol)
+      .join(sizes.select(col(id).as(bCol), col("sz").as("sz_b")), bCol)
+      .withColumn("jaccard_ppm", expr("(n_inter * 1000000) div (sz_a + sz_b - n_inter)"))
+      .select(col(aCol), col(bCol), col("n_inter"), col("jaccard_ppm"))
+  }
+
   /** 16-bit SimHash per document. Bit i of a token's hash = parity of the
     * i-th md5 hex char; signature bit = sign of the frequency-weighted sum. */
   def simhash16(df: DataFrame, id: String, text: String): DataFrame = {

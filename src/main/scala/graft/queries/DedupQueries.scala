@@ -399,4 +399,76 @@ object DedupQueries {
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE greatest((n_inter * 1000000) // sa.sz, (n_inter * 1000000) // sb.sz) >= 400000
         |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q104 (T62): incremental dedup — the batch (doc_id % 11 = 3)
+    * against the rest of the corpus. Candidates from a batch-vs-corpus
+    * band join (never a corpus self-join), exact 3-gram Jaccard >= 0.5
+    * verification restricted to the candidates, and a per-batch-doc
+    * keep/drop verdict — the decision a recurring ingest actually
+    * emits. */
+  def q104IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val batch = docs.filter(col("doc_id") % 11 === 3)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 3)
+    val cands = Dedup.incrementalCandidates(batch, corpus, "doc_id", "text",
+      n = 3, k = 8, rowsPerBand = 2)
+    val verified = Dedup.jaccardForPairs(docs, "doc_id", "text", n = 3,
+      cands, "batch_id", "corpus_id")
+    val perDoc = cands.groupBy(col("batch_id"))
+      .agg(countDistinct(col("corpus_id")).as("n_candidates"))
+    val dupCounts = verified.filter(col("jaccard_ppm") >= 500000)
+      .groupBy(col("batch_id")).agg(count(lit(1)).as("n_dups"))
+    batch.select(col("doc_id"))
+      .join(perDoc.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
+      .join(dupCounts.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_dups"))
+      .withColumn("kept", col("n_dups") === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val q104Sql: String =
+    tokCte +
+      """,
+        |sh AS (
+        | SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(greatest(len(tk) - 2, 0)), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shingle
+        | FROM toks),
+        |sig AS (
+        | SELECT doc_id,
+        |  min(md5(shingle || '#0')) AS mh0, min(md5(shingle || '#1')) AS mh1,
+        |  min(md5(shingle || '#2')) AS mh2, min(md5(shingle || '#3')) AS mh3,
+        |  min(md5(shingle || '#4')) AS mh4, min(md5(shingle || '#5')) AS mh5,
+        |  min(md5(shingle || '#6')) AS mh6, min(md5(shingle || '#7')) AS mh7
+        | FROM sh GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_hash FROM sig
+        | UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+        | UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+        | UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+        | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        | WHERE a.doc_id % 11 = 3 AND b.doc_id % 11 <> 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        | SELECT c.batch_id, c.corpus_id, count(*) AS n_inter
+        | FROM cand c
+        | JOIN sh a ON a.doc_id = c.batch_id
+        | JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+        | GROUP BY 1, 2),
+        |verified AS (
+        | SELECT batch_id, count(*) AS n_dups
+        | FROM inter JOIN sizes sa ON sa.doc_id = batch_id JOIN sizes sb ON sb.doc_id = corpus_id
+        | WHERE (n_inter * 1000000) // (sa.sz + sb.sz - n_inter) >= 500000
+        | GROUP BY 1),
+        |ncand AS (SELECT batch_id, count(DISTINCT corpus_id) AS n_candidates FROM cand GROUP BY 1)
+        |SELECT d.doc_id,
+        | coalesce(ncand.n_candidates, 0) AS n_candidates,
+        | coalesce(verified.n_dups, 0) AS n_dups,
+        | coalesce(verified.n_dups, 0) = 0 AS kept
+        |FROM documents d
+        |LEFT JOIN ncand ON ncand.batch_id = d.doc_id
+        |LEFT JOIN verified ON verified.batch_id = d.doc_id
+        |WHERE d.doc_id % 11 = 3
+        |ORDER BY d.doc_id""".stripMargin
 }

@@ -557,4 +557,29 @@ class CurationSpec extends AnyFunSuite {
       } else assert(!got.contains((a, b)))
     }
   }
+
+  test("T62: incremental dedup joins batch bands to corpus bands, verifies, keeps/drops") {
+    // corpus docs 1-3; batch: 10 = exact copy of 1 (drop), 11 = shares a
+    // few tokens with 2 but not near-dup (keep), 12 = unrelated (keep)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red green blue cyan magenta yellow black white")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two unrelated totally different words entirely here now"),
+      (12L, "planets orbit stars in ellipses per kepler law")).toDF("doc_id", "text")
+    val cands = Dedup.incrementalCandidates(batch, corpus, "doc_id", "text",
+      n = 3, k = 8, rowsPerBand = 2)
+    val candPairs = cands.as[(Long, Long)].collect().toSet
+    assert(candPairs.contains((10L, 1L)), s"exact copy not a candidate: $candPairs")
+    assert(candPairs.forall(_._1 >= 10L), "candidate batch side must be batch docs")
+    val verified = Dedup.jaccardForPairs(corpus.union(batch), "doc_id", "text", n = 3,
+        cands, "batch_id", "corpus_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // the exact copy verifies at jaccard 1.0
+    assert(verified.exists { case (b, c, _, ppm) => b == 10L && c == 1L && ppm == 1000000L })
+    // nothing else reaches the 0.5 cut
+    assert(verified.count { case (_, _, _, ppm) => ppm >= 500000L } == 1)
+  }
 }

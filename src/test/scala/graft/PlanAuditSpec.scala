@@ -424,6 +424,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"q102 scans events $scans times:\n${p.take(2000)}")
   }
 
+  test("q104: incremental dedup never re-derives signatures past their materialization") {
+    // batch/corpus band tables and the verification shingle table are
+    // all checkpointed; the only live documents scans left in the plan
+    // are the semi-join id reduction and the final batch projection —
+    // the q21 lesson applied to the two-sided join
+    val p = plan("q104_incr_dedup")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"q104 re-scans documents $scans times:\n${p.take(2000)}")
+  }
+
   test("q103: surt key is pure column logic — no UDF, scan prunes to doc_id") {
     val p = plan("q103_surt_key")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
