@@ -155,6 +155,36 @@ object Dedup {
       .select(col(aCol), col(bCol), col("n_inter"), col("jaccard_ppm"))
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Per-row MinHash signature computed locally in Scala — the SAME
+    * md5 scheme as [[minhashSignatures]] (lexicographic min over
+    * lowercase hex, distinct word n-gram shingles, tokensCol
+    * tokenization), for contexts where a groupBy aggregation can't
+    * run (per-event streaming state, `streaming/StreamOps`). Batch
+    * and stream signatures are interchangeable — a stored batch band
+    * table keeps matching a live stream. Empty when the doc has
+    * fewer than `n` tokens (mirrors the batch path emitting no
+    * shingle rows). */
+  def minhashSigLocal(text: String, n: Int, k: Int): IndexedSeq[String] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < n) Vector.empty
+    else {
+      val shingles = toks.sliding(n).map(_.mkString(" ")).toSet
+      (0 until k).map(j => shingles.iterator.map(s => md5Hex(s + "#" + j)).min)
+    }
+  }
+
+  /** Band hashes for a local signature — same md5(concat(row hashes))
+    * as [[lshBands]]. */
+  def bandHashesLocal(sig: IndexedSeq[String], rowsPerBand: Int): IndexedSeq[String] =
+    (0 until sig.length / rowsPerBand).map { b =>
+      md5Hex((0 until rowsPerBand).map(r => sig(b * rowsPerBand + r)).mkString)
+    }
+
   /** 16-bit SimHash per document. Bit i of a token's hash = parity of the
     * i-th md5 hex char; signature bit = sign of the frequency-weighted sum. */
   def simhash16(df: DataFrame, id: String, text: String): DataFrame = {

@@ -140,4 +140,61 @@ object StreamOps {
           }
         })
   }
+
+  case class DocEvent(docId: Long, text: String)
+  case class DupCandidate(docId: Long, priorId: Long, bandId: Int)
+
+  /** T63: streaming near-duplicate candidates (the Distributed
+    * Streaming Set Similarity Join shape, ICDE 2020): each arriving
+    * doc is MinHash-banded with the SAME md5 scheme as the batch path
+    * ([[graft.ops.Dedup.minhashSigLocal]] — batch-stored band tables
+    * and live streams stay interchangeable), keyed by
+    * (band_id, band_hash), and each bucket's state holds the doc ids
+    * seen there; an arrival emits one candidate row per prior bucket
+    * member, so candidates appear the moment the dup arrives, not at
+    * the next batch dedup run.
+    *
+    * State is bounded per bucket (`maxBucket`): LSH keeps honest
+    * buckets tiny, and a bucket that outgrows the cap IS an
+    * exact-dup cluster — further members still emit candidates
+    * against the capped prefix, which is the verdict that matters.
+    * The same pair can emit once per shared band; consumers dedup
+    * (exactly the batch `minhashCandidates.distinct()` step, done
+    * downstream here so the hot path stays append-only). `timeoutMs`
+    * evicts idle buckets in live deployments; leave None under
+    * synchronous `processAllAvailable()` draining (see
+    * [[hostBudgetState]]). */
+  def streamingNearDup(docs: Dataset[DocEvent], n: Int = 3, k: Int = 8,
+                       rowsPerBand: Int = 2, maxBucket: Int = 64,
+                       timeoutMs: Option[Long] = None): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    val timeoutKind =
+      if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val banded: Dataset[(String, Int, Long)] = docs.flatMap { d =>
+      val sig = graft.ops.Dedup.minhashSigLocal(d.text, n, k)
+      if (sig.isEmpty) Iterator.empty
+      else graft.ops.Dedup.bandHashesLocal(sig, rowsPerBand).iterator.zipWithIndex
+        .map { case (h, b) => (s"$b#$h", b, d.docId) }
+    }
+    banded
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutKind)(
+        (key: String, rows: Iterator[(String, Int, Long)], state: GroupState[List[Long]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[DupCandidate]
+            rows.foreach { case (_, band, id) =>
+              if (!seen.contains(id)) {
+                seen.iterator.take(maxBucket).foreach(p => out += DupCandidate(id, p, band))
+                seen = id :: seen
+              }
+            }
+            state.update(seen.take(maxBucket))
+            timeoutMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+        })
+  }
 }

@@ -253,4 +253,38 @@ class SearchAndStreamSpec extends AnyFunSuite {
     sink(Seq(6L).toDF("v"), 2L)
     assert(ice.read(spark, "events").count() == 6)
   }
+
+  test("streaming: near-dup candidates match the batch LSH pair set, emitted on arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // docs 1/3 are exact copies; 2 unrelated; 4 (arrives later) copies 1
+    val d1 = (1L, "alpha beta gamma delta epsilon zeta")
+    val d2 = (2L, "one two three four five six seven")
+    val d3 = (3L, "alpha beta gamma delta epsilon zeta")
+    val d4 = (4L, "alpha beta gamma delta epsilon zeta")
+    val in = MemoryStream[StreamOps.DocEvent]
+    val q = StreamOps.streamingNearDup(in.toDS(), n = 3, k = 8, rowsPerBand = 2)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    in.addData(StreamOps.DocEvent(d1._1, d1._2), StreamOps.DocEvent(d2._1, d2._2),
+      StreamOps.DocEvent(d3._1, d3._2))
+    q.processAllAvailable()
+    val afterFirst = spark.table("neardup").as[StreamOps.DupCandidate].collect()
+      .map(c => (c.docId min c.priorId, c.docId max c.priorId)).toSet
+    assert(afterFirst == Set((1L, 3L)), s"got $afterFirst")
+    // the dup candidate appears in the micro-batch its doc arrives in
+    in.addData(StreamOps.DocEvent(d4._1, d4._2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup").as[StreamOps.DupCandidate].collect()
+      .map(c => (c.docId min c.priorId, c.docId max c.priorId)).toSet
+    // parity: the same md5 banding scheme gives the same pair set as
+    // the batch path over the full corpus
+    val batchPairs = graft.ops.Dedup.minhashCandidates(
+        Seq(d1, d2, d3, d4).toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, k = 8, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batchPairs, s"stream $streamed != batch $batchPairs")
+    assert(streamed == Set((1L, 3L), (1L, 4L), (3L, 4L)))
+  }
 }
