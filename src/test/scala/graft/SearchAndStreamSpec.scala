@@ -287,4 +287,27 @@ class SearchAndStreamSpec extends AnyFunSuite {
     assert(streamed == batchPairs, s"stream $streamed != batch $batchPairs")
     assert(streamed == Set((1L, 3L), (1L, 4L), (3L, 4L)))
   }
+
+  test("streaming: near-dup bucket state stays capped; overflow docs still match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 6 identical docs through a cap of 2: every bucket holds <= 2 ids,
+    // yet each arrival still emits candidates against the capped prefix
+    val text = "alpha beta gamma delta epsilon zeta"
+    val in = MemoryStream[StreamOps.DocEvent]
+    val q = StreamOps.streamingNearDup(in.toDS(), n = 3, k = 8, rowsPerBand = 2,
+        maxBucket = 2)
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("append").start()
+    (1L to 6L).foreach { id => in.addData(StreamOps.DocEvent(id, text)); q.processAllAvailable() }
+    q.stop()
+    val perDoc = spark.table("neardup_cap").as[StreamOps.DupCandidate].collect()
+      .groupBy(_.docId).map { case (id, cs) => id -> cs.map(_.priorId).distinct.sorted.toSeq }
+    // docs 3..6 each matched against exactly the 2 retained bucket members
+    // (the cap keeps the newest-first prefix; doc 2 matched the only prior)
+    assert(perDoc(2L) == Seq(1L))
+    (3L to 6L).foreach { id =>
+      assert(perDoc(id).size == 2, s"doc $id matched ${perDoc(id)} — cap not applied")
+    }
+  }
 }
