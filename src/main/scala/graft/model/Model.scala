@@ -30,11 +30,15 @@ case class ImageRow(
     caption: String,
     phash: Long)
 
-/** robots.txt rules for one host (S4/F4/J4). */
+/** robots.txt rules for one host (S4/F4/J4). `robotsFailed` marks a
+  * host whose robots.txt fetch errored: still permissive on paths
+  * (v3, `crawler/crawler_node.py:50-52`) but throttled to the v1
+  * conservative delay (`archive/crawler_node.py:68-75`). */
 case class RobotsRule(
     host: String,
     disallowPrefixes: Seq[String],
-    crawlDelay: Double)
+    crawlDelay: Double,
+    robotsFailed: Boolean = false)
 
 /** Outcome of fetching one frontier entry (F12 sum-type row). */
 case class FetchResult(

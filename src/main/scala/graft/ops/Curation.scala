@@ -300,7 +300,10 @@ object Curation {
     }.toDF("k").distinct()
     val n = sel.count()
     val threshold = n / (capacity + 1)
-    sel.join(broadcast(candidates), col(key).cast("string") === col("k"), "left_semi")
+    // null-safe equality: the MG pass counts a null key (HashMap keeps
+    // it), so the verification join must be able to match it back —
+    // plain === drops null-heavy columns from the output silently
+    sel.join(broadcast(candidates), col(key).cast("string") <=> col("k"), "left_semi")
       .groupBy(col(key))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") > threshold)

@@ -69,11 +69,46 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** Nearest-neighbor per row (embedding near-dup candidates): the top-1
-    * cosine neighbor for every vector. */
+  /** Exact nearest-neighbor per row — TEST ORACLE ONLY. This is the
+    * corpus cross join (O(N²) candidate rows): it certifies
+    * [[lshNearestNeighbor]] on small data the way the brute-force pair
+    * scan certifies the pHash band join (q59), and must never be the
+    * default at corpus scale. Production near-dup goes through the
+    * bucketed [[lshNearestNeighbor]] / [[ivfTopK]] / [[semanticDedup]]
+    * scale paths. */
   def nearestNeighbor(df: DataFrame, id: String, emb: String): DataFrame =
     bruteForceTopK(df, df, id, emb, k = 1)
       .select(col("query_id").as(id), col("neighbor_id").as("nn_id"), col("sim"))
+
+  /** Bucketed top-1 embedding near-dup — the DEFAULT near-dup operator:
+    * sign-LSH bucket assignment (the [[signLshBucket]] machinery), then
+    * top-1 cosine within the bucket (sim DESC, id ASC). The join is a
+    * bucket equi-join — shuffle bounded by bucket sizes, never all-pairs
+    * across the corpus. A vector alone in its bucket emits no row (no
+    * candidate ⇒ not a near-dup), which is the semantics a dedup
+    * pipeline wants; recall is governed by `nPlanes` (fewer planes →
+    * bigger buckets → higher recall, more compare work).
+    *
+    * The bucketed projection is materialized ONCE (localCheckpoint)
+    * before the self-join so Catalyst cannot inline the
+    * scale + norm + plane math into both sides. */
+  def lshNearestNeighbor(df: DataFrame, id: String, emb: String,
+                         dim: Int, nPlanes: Int): DataFrame = {
+    val b = signLshBucket(df, id, emb, dim, nPlanes)
+      .select(col("bucket"), col(id), col("scaled"), col("norm2"))
+      .localCheckpoint()
+    val a = b.select(col("bucket"), col(id).as("query_id"),
+      col("scaled").as("sa"), col("norm2").as("na"))
+    val c = b.select(col("bucket"), col(id).as("nn_id"),
+      col("scaled").as("sb"), col("norm2").as("nb"))
+    a.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("sim", cosine(dotCol(col("sa"), col("sb")), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("nn_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id").as(id), col("nn_id"), col("sim"))
+  }
 
   /**
    * Sign-LSH bucket assignment: `nPlanes` pseudo-random hyperplanes with

@@ -20,6 +20,7 @@ import graft.urlnorm.urlfunctions._
 case class CrawlConfig(
     waveSeconds: Double = 30.0,   // politeness budget window per wave
     defaultDelay: Double = 1.0,   // crawl-delay when robots has none (`archive/crawler_node.py:34`)
+    failedRobotsDelay: Double = 3.0, // v1 conservative delay when the robots FETCH failed (`archive/crawler_node.py:68-75`)
     nPartitions: Int = 32,
     hostSaltTarget: Int = 8,      // target selected-URLs per (host,salt) partition key
     bloomExpectedSeen: Long = 1 << 20,
@@ -149,8 +150,8 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     frontierDf.join(flogKeys, Seq("url"), "left_anti")
 
   private def robotsDf: DataFrame =
-    robots.map(r => (r.host, r.disallowPrefixes, r.crawlDelay))
-      .toDF("host", "disallow_prefixes", "crawl_delay")
+    robots.map(r => (r.host, r.disallowPrefixes, r.crawlDelay, r.robotsFailed))
+      .toDF("host", "disallow_prefixes", "crawl_delay", "robots_failed")
 
   // ---------- one wave ----------
 
@@ -228,8 +229,13 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     val selected = if (budgetUnbounded) {
       allowed.select($"url", $"host", $"depth", $"seq")
     } else {
+      // J4 delay semantics: failed robots fetch → v1's conservative 3 s
+      // (`archive/crawler_node.py:75`); present rule → its crawl-delay;
+      // no robots row for the host → permissive default. `when` with no
+      // otherwise is null on false/null, so coalesce falls through.
       val delay = if (robots.isEmpty) lit(conf.defaultDelay)
-        else coalesce($"crawl_delay", lit(conf.defaultDelay))
+        else coalesce(when($"robots_failed", lit(conf.failedRobotsDelay)),
+          $"crawl_delay", lit(conf.defaultDelay))
       val budget = greatest(lit(1L), floor(lit(conf.waveSeconds) / delay))
       val rankW = Window.partitionBy($"host").orderBy($"depth", $"seq")
       allowed
@@ -472,7 +478,13 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       $"url",
       array_join(slice(split($"caption", " "), 1, 8), " ").as("title"),
       $"caption".as("content"),
-      $"host".as("domain"), $"wave".as("crawl_wave"))
+      $"host".as("domain"), $"wave".as("crawl_wave"),
+      // stored index-time stamp (`indexer_node.py:96` strftime) — the
+      // deterministic crawl clock (epoch + 1 s per wave) rather than
+      // wall time, so resume-from-snapshot re-runs commit identical rows
+      date_format(
+        timestamp_seconds(lit(CrawlPipeline.CrawlEpoch) + $"wave".cast("long")),
+        "yyyy-MM-dd HH:mm:ss").as("crawl_date"))
 
     // metrics + lineage Δ (A1 counters, per-partition attribution).
     // Both are aggregates of the same staged scan at different grains;
@@ -577,6 +589,12 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
 }
 
 object CrawlPipeline {
+  /** Deterministic crawl clock origin (2025-01-01T00:00:00Z): indexed
+    * docs stamp `crawl_date` = epoch + wave seconds, keeping resume
+    * re-runs byte-identical where the reference's `time.strftime`
+    * (`indexer_node.py:96`) would not be. */
+  val CrawlEpoch: Long = 1735689600L
+
   /** Section timing to stderr when SPARK_GRAFT_TRACE=1 (perf debugging). */
   private[pipeline] val traceOn = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
   def trace(since: Long, msg: String): Long = {

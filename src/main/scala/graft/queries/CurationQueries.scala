@@ -191,11 +191,19 @@ object CurationQueries {
     * until the 10k-token budget is spent (37% of the sf0.01 corpus, 4%
     * at sf0.1, so both scales exercise the cut). Exact integer running
     * totals via the distributed prefix sum — no single-partition
-    * window. */
+    * window. Quality is avg token length in parts-per-million
+    * (sum_len·10⁶ div n_tokens): exact integer fixed point on both
+    * sides, no float formatting in the oracle compare. */
   def q81TokenBudget(s: SparkSession, d: String): DataFrame = {
-    val qs = graft.ops.TextAnalysis.qualityScore(documents(s, d), "doc_id", "text")
+    val toks = graft.ops.TextAnalysis.tokensCol(col("text"))
+    val qs = documents(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_len"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_len * 1000000 div n_tokens").as("quality_ppm"))
     Curation.selectUnderBudget(qs, "doc_id", col("n_tokens"),
-        col("avg_token_len"), budget = 10000L)
+        col("quality_ppm"), budget = 10000L)
       .orderBy(col("doc_id"))
   }
 
@@ -205,10 +213,10 @@ object CurationQueries {
       | FROM documents),
       |q AS (
       | SELECT doc_id,
-      |  CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk) AS quality,
+      |  CAST((list_sum(list_transform(tk, x -> len(x))) * 1000000) // len(tk) AS BIGINT) AS quality,
       |  CAST(len(tk) AS BIGINT) AS n_tokens
       | FROM t)
-      |SELECT doc_id, quality, n_tokens, cum_tokens, cum_tokens <= 10000 AS selected FROM (
+      |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, cum_tokens <= 10000 AS selected FROM (
       | SELECT doc_id, quality, n_tokens,
       |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
       | FROM q)

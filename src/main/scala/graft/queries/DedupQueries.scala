@@ -109,9 +109,14 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** q23: exact 2-gram Jaccard >= 0.05 over shingle-sharing pairs. */
+  /** q23: exact 2-gram Jaccard >= 0.05 over shingle-sharing pairs.
+    * The oracle mirrors the operator's df-cap (shingles on > 10000 docs
+    * are excluded from candidates/intersection — never binding at test
+    * scale, but the capped semantics are what ships, so the oracle
+    * certifies them). */
   def q23NgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccard(documents(s, d), "doc_id", "text", n = 2, minJaccard = 0.05)
+    Dedup.ngramJaccard(documents(s, d), "doc_id", "text", n = 2,
+        minJaccard = 0.05, dfCap = 10000L)
       .orderBy(col("doc_a"), col("doc_b"))
 
   val q23Sql: String =
@@ -122,9 +127,13 @@ object DedupQueries {
         |  unnest(list_transform(range(greatest(len(tk) - 1, 0)), i -> tk[i+1] || ' ' || tk[i+2])) AS shingle
         | FROM toks),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |kept AS (
+        | SELECT sh.doc_id, sh.shingle FROM sh JOIN (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10000
+        | ) d USING (shingle)),
         |inter AS (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         | GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         | CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
@@ -308,30 +317,50 @@ object DedupQueries {
       |HAVING count(*) >= 2
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** q25: embedding near-dup — top-1 cosine neighbor per vector
-    * (fixed-point dot product; bit-identical across engines). */
+  /** q25: embedding near-dup — BUCKETED top-1 cosine neighbor per
+    * vector (sign-LSH bucket equi-join, the scale path; fixed-point dot
+    * product, bit-identical across engines). The brute-force all-pairs
+    * NN ([[Similarity.nearestNeighbor]]) is the test oracle for the
+    * bucketed operator (SimilaritySpec), not a driver query: a corpus
+    * cross join is not a 100-TB plan. 4 planes = 16 buckets — wide
+    * enough that bucketing binds at sf0.01, coarse enough that most
+    * vectors keep a candidate. */
   def q25EmbedNearest(s: SparkSession, d: String): DataFrame =
-    Similarity.nearestNeighbor(embeddings(s, d), "vec_id", "embedding")
+    Similarity.lshNearestNeighbor(embeddings(s, d), "vec_id", "embedding",
+        dim = 64, nPlanes = 4)
       .orderBy(col("vec_id"))
 
-  val q25Sql: String =
-    """WITH sc AS (
-      | SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s
-      | FROM embeddings),
-      |n AS (SELECT vec_id, s, list_sum(list_transform(s, x -> x * x)) AS n2 FROM sc),
-      |dots AS (
-      | SELECT t.qid AS vec_id, t.nid AS nn_id, t.qn AS na, t.cn AS nb, sum(t.ae * t.be) AS dot
-      | FROM (SELECT q.vec_id AS qid, c.vec_id AS nid, q.n2 AS qn, c.n2 AS cn,
-      |              unnest(q.s) AS ae, unnest(c.s) AS be
-      |       FROM n q JOIN n c ON q.vec_id <> c.vec_id) t
-      | GROUP BY 1, 2, 3, 4),
-      |ranked AS (
-      | SELECT vec_id, nn_id,
-      |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim,
-      |  row_number() OVER (PARTITION BY vec_id
-      |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, nn_id) AS rn
-      | FROM dots)
-      |SELECT vec_id, nn_id, sim FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  val q25Sql: String = {
+    val dim = 64; val nPlanes = 4
+    // Same md5-derived hyperplanes as Similarity.signLshBucket (the q39
+    // pattern), embedded as list literals so DuckDB computes identical
+    // buckets.
+    val planeLits = (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) "1" else "-1"
+      }.mkString("[", ",", "]")
+    }
+    val bucketTerms = (0 until nPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range($dim), i -> s[i+1] * (${planeLits(p)})[i+1])) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sc AS (
+       | SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       | FROM embeddings),
+       |n AS (SELECT vec_id, s, list_sum(list_transform(s, x -> x * x)) AS n2 FROM sc),
+       |b AS (SELECT vec_id, s, n2, CAST($bucketTerms AS INT) AS bucket FROM n),
+       |sims AS (
+       | SELECT a.vec_id AS vec_id, c.vec_id AS nn_id,
+       |  CAST(list_sum(list_transform(range($dim), i -> a.s[i+1] * c.s[i+1])) AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+       | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |ranked AS (
+       | SELECT vec_id, nn_id, sim,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
+       | FROM sims)
+       |SELECT vec_id, nn_id, sim FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
 
   /** q94 (T52): mirror-host detection. Six synthesized hosts share a
     * 40-key content pool (a key reaches host h iff key ≡ h mod 2, so
@@ -378,7 +407,8 @@ object DedupQueries {
     * direction — catches short-doc-inside-long-doc dups that symmetric
     * Jaccard (q23) under-scores. */
   def q101Containment(s: SparkSession, d: String): DataFrame =
-    Dedup.containment(documents(s, d), "doc_id", "text", n = 2, minContainPpm = 400000L)
+    Dedup.containment(documents(s, d), "doc_id", "text", n = 2,
+        minContainPpm = 400000L, dfCap = 10000L)
       .orderBy(col("doc_a"), col("doc_b"))
 
   val q101Sql: String =
@@ -389,9 +419,13 @@ object DedupQueries {
         |  unnest(list_transform(range(greatest(len(tk) - 1, 0)), i -> tk[i+1] || ' ' || tk[i+2])) AS shingle
         | FROM toks),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |kept AS (
+        | SELECT sh.doc_id, sh.shingle FROM sh JOIN (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10000
+        | ) d USING (shingle)),
         |inter AS (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         | GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_inter,
         | (n_inter * 1000000) // sa.sz AS cont_a_in_b_ppm,

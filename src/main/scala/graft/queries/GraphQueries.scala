@@ -51,13 +51,13 @@ object GraphQueries {
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |$edgesSqlCte,
          |od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-         |r0 AS (SELECT doc_id, ($S // (SELECT n FROM nn)) AS rank FROM documents)""".stripMargin
+         |r0 AS (SELECT doc_id, CAST($S // (SELECT n FROM nn) AS BIGINT) AS rank FROM documents)""".stripMargin
     val rounds = (1 to 5).map { k =>
       s""",
          |r$k AS (
          | SELECT d.doc_id,
-         |  (15 * ($S // (SELECT n FROM nn))) // 100
-         |  + (85 * COALESCE(s.m, 0)) // 100 AS rank
+         |  CAST((15 * ($S // (SELECT n FROM nn))) // 100
+         |  + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank
          | FROM documents d LEFT JOIN (
          |  SELECT e.dst AS doc_id, sum(r.rank // o.deg) AS m
          |  FROM edges e JOIN r${k - 1} r ON r.doc_id = e.src JOIN od o ON o.src = e.src

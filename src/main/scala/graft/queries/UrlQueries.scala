@@ -172,7 +172,7 @@ object UrlQueries {
       | CASE WHEN doc_id % 4 = 0 AND doc_id % 3 = 1 THEN false
       |      WHEN doc_id % 4 = 1 AND doc_id % 3 IN (1, 2) THEN false
       |      ELSE true END AS allowed,
-      | CASE WHEN doc_id % 4 = 0 THEN 2.0 ELSE 1.0 END AS delay
+      | CAST(CASE WHEN doc_id % 4 = 0 THEN 2.0 ELSE 1.0 END AS DOUBLE) AS delay
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q92 (T50): tracking-parameter strip — utm-prefixed/click-id params are

@@ -149,4 +149,13 @@ object RobotsTxt {
     * `crawler/crawler_node.py:50-52`. */
   def permissive(host: String, defaultDelay: Double = 1.0): RobotsRule =
     RobotsRule(host, Seq.empty, defaultDelay)
+
+  /** Robots fetch FAILED (vs merely absent): v1's conservative stance —
+    * paths stay permissive but the host is throttled at the 3 s
+    * conservative delay until robots can be re-fetched
+    * (`archive/crawler_node.py:68-75`). The flag travels on the rule
+    * row; the wave's budget expression maps it to
+    * `CrawlConfig.failedRobotsDelay`. */
+  def failed(host: String, conservativeDelay: Double = 3.0): RobotsRule =
+    RobotsRule(host, Seq.empty, conservativeDelay, robotsFailed = true)
 }

@@ -98,16 +98,35 @@ object StreamOps {
     * stream) committed in between, and the key is namespaced per table
     * so two streams landing different tables in one store don't
     * clobber each other's progress. Batch ids are monotonic, so the
-    * newest occurrence is the max. Usage:
+    * newest occurrence is the max. The walk runs ONCE per sink
+    * instance (restart recovery); afterwards the closure caches its
+    * own high-water mark, so steady-state micro-batches cost zero
+    * manifest reads (an absent key would otherwise walk the full
+    * history every batch).
+    *
+    * Retention contract: `IceLite.expire` must keep at least one
+    * commit carrying each live stream's meta key — expiring ALL of a
+    * stream's commits while that stream is down erases its replay
+    * guard, and the re-delivered last batch would commit twice on
+    * restart. (Expire keeps a trailing window of commits, so this
+    * only needs the window to exceed the outage, same as any
+    * checkpoint-retention policy.) Usage:
     * `stream.writeStream.foreachBatch(StreamOps.snapshotSink(ice, "t")).start()`. */
   def snapshotSink(ice: graft.icelite.IceLite, table: String): (DataFrame, Long) => Unit = {
     val metaKey = s"stream_batch_id:$table"
+    var recovered = false
+    var committed: Option[Long] = None
     (batch, batchId) => {
-      val committed = ice.history.iterator
-        .flatMap(id => ice.commitMeta(id).get(metaKey))
-        .map(_.toLong).nextOption()
-      if (!committed.exists(_ >= batchId))
+      if (!recovered) {
+        committed = ice.history.iterator
+          .flatMap(id => ice.commitMeta(id).get(metaKey))
+          .map(_.toLong).nextOption()
+        recovered = true
+      }
+      if (!committed.exists(_ >= batchId)) {
         ice.commit(Seq(table -> batch), meta = Map(metaKey -> batchId.toString))
+        committed = Some(batchId)
+      }
     }
   }
 

@@ -139,7 +139,11 @@ object urlfunctions {
     * `array_join`) — evaluated as Catalyst expressions on Tungsten
     * rows, no Scala UDF closure. Empty-after-strip queries drop the
     * '?' entirely; URLs without a query pass through byte-identical,
-    * so the function is idempotent (UrlCanonSpec property).
+    * so the function is idempotent (UrlCanonSpec property). A raw
+    * (non-canonicalized) URL's `#fragment` is split off before the
+    * param filter and re-appended untouched — on canonical input
+    * ([[canonicalize_url]] strips fragments) the branch is inert, but
+    * raw input must not lose its fragment inside the last query param.
     */
   def strip_tracking_params(c: Column): Column = {
     import org.apache.spark.sql.functions.{array_join, filter => afilter, get, lower, size, split}
@@ -149,16 +153,21 @@ object urlfunctions {
     // `get` (not getItem): a URL without '?' splits to a 1-element
     // array, and under ANSI semantics an out-of-range getItem throws
     // instead of returning null
-    val parts = split(c, "\\?", 2)
+    val fparts = split(c, "#", 2)
+    val nofrag = get(fparts, lit(0))
+    val frag = get(fparts, lit(1))
+    val parts = split(nofrag, "\\?", 2)
     val base = get(parts, lit(0))
     val query = get(parts, lit(1))
     val kept = afilter(split(query, "&"), p => {
       val key = lower(get(split(p, "=", 2), lit(0)))
       !(key.startsWith("utm_") || key.isin(blocked: _*))
     })
-    when(query.isNull, c)
+    val stripped = when(query.isNull, nofrag)
       .when(size(kept) === 0, base)
       .otherwise(concat(base, lit("?"), array_join(kept, "&")))
+    when(frag.isNull, stripped)
+      .otherwise(concat(stripped, lit("#"), frag))
   }
 
   /** T61: SURT clustering key (Sort-friendly URI Reordering Transform —

@@ -19,7 +19,7 @@ object CrawlOracle {
   case class Result(frontier: Map[String, Entry], fetches: Map[String, Fetch], waves: Int)
 
   def run(web: SyntheticWeb.Web, waveSeconds: Double, defaultDelay: Double,
-          maxWaves: Int): Result = {
+          maxWaves: Int, failedRobotsDelay: Double = 3.0): Result = {
     val pagesByUrl = web.pages.map(p => p.url -> p).toMap
     val robotsByHost = web.robots.map(r => r.host -> r).toMap
 
@@ -47,7 +47,11 @@ object CrawlOracle {
         denied.foreach(e => fetched(e.url) = Fetch(e.url, wave, -1, success = false))
 
         val selected = allowed.groupBy(_.host).toVector.flatMap { case (h, es) =>
-          val delay = robotsByHost.get(h).map(_.crawlDelay).getOrElse(defaultDelay)
+          // v1 conservative stance: a failed robots FETCH throttles the
+          // host at 3 s (`archive/crawler_node.py:68-75`)
+          val delay = robotsByHost.get(h)
+            .map(r => if (r.robotsFailed) failedRobotsDelay else r.crawlDelay)
+            .getOrElse(defaultDelay)
           val budget = math.max(1L, math.floor(waveSeconds / delay).toLong)
           es.sortBy(e => (e.depth, e.seq)).take(budget.toInt)
         }.sortBy(e => (e.depth, e.seq))

@@ -125,6 +125,17 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(counted == logged, s"metrics count $counted != fetchlog $logged")
   }
 
+  test("indexed_docs carry the deterministic crawl_date stamp (C5 format)") {
+    val rows = store.read(spark, "indexed_docs")
+      .select($"crawl_date", $"crawl_wave").as[(String, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, _) =>
+      assert(d.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""), s"bad crawl_date: $d")
+    }
+    // deterministic crawl clock: the stamp is a pure function of the wave
+    assert(rows.groupBy(_._2).forall(_._2.map(_._1).distinct.size == 1))
+  }
+
   test("resume-from-snapshot: killing after 2 waves and resuming is equivalent") {
     val rootA = Files.createTempDirectory("crawlA").toString
     val pA = newPipeline(rootA)
@@ -196,6 +207,45 @@ class CrawlParitySpec extends AnyFunSuite {
     val (_, _, flogFiles) = st.tableStat("fetchlog").get
     assert(flogFiles < lastWave / 2,
       s"fetchlog has $flogFiles files after $lastWave waves — compaction did not run")
+  }
+
+  test("failed robots fetch: host throttled at the v1 conservative 3 s budget (J4)") {
+    // host 0 (the hot host) gets a FAILED robots fetch: paths stay
+    // permissive but the delay is the conservative 3 s
+    // (`archive/crawler_node.py:68-75`), so with waveSeconds=6 its
+    // budget is 2/wave while default hosts run at 6/wave. The whole
+    // crawl must also stay oracle-exact under the failed-robots delay.
+    val failWeb = SyntheticWeb.generate(seed = 13L, nHosts = 4, nPages = 80)
+    val h0 = SyntheticWeb.hostName(0)
+    val robots = Seq(graft.robots.RobotsTxt.failed(h0))
+    val c = CrawlConfig(waveSeconds = 6.0, nPartitions = 4,
+      hostSaltTarget = 4, bloomExpectedSeen = 10000)
+    val root = Files.createTempDirectory("crawlR").toString
+    val fetcher: Fetcher = SyntheticFetcher.forWeb(failWeb)
+    val p = new CrawlPipeline(spark, new IceLite(root),
+      spark.sparkContext.broadcast(fetcher), robots, c)
+    p.init(failWeb.seeds)
+    p.run(maxWaves = 80)
+    val st = new IceLite(root)
+    val counts = st.read(spark, "fetchlog")
+      .filter($"status" =!= -1)
+      .groupBy($"wave", $"host").agg(count(lit(1)).as("n"))
+      .as[(Int, String, Long)].collect()
+    val h0Counts = counts.filter(_._2 == h0).map(_._3)
+    assert(h0Counts.nonEmpty)
+    // budget floor(6 / 3.0) = 2 — never exceeded, and binding at least once
+    assert(h0Counts.forall(_ <= 2L), s"failed-robots host exceeded 3 s budget: ${h0Counts.max}")
+    assert(h0Counts.contains(2L), "3 s budget never bound — test web too sparse to observe it")
+    // a default-delay host must be allowed past 2/wave (the throttle is per-host)
+    assert(counts.exists(r => r._2 != h0 && r._3 > 2L))
+    // oracle parity under the failed-robots delay
+    val want = CrawlOracle.run(
+      failWeb.copy(robots = robots), c.waveSeconds, c.defaultDelay, 80)
+    val got = st.read(spark, "fetchlog")
+      .select($"url", $"wave", $"status").as[(String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val wantF = want.fetches.map { case (u, f) => u -> ((f.wave, f.status)) }
+    assert(got == wantF, "failed-robots crawl must stay oracle-exact")
   }
 
   test("distributed init == driver init: canonicalize + first-seen order + dense seq") {

@@ -528,6 +528,38 @@ class CurationSpec extends AnyFunSuite {
       minContainPpm = 1000001L).count() == 0L)
   }
 
+  test("T5/T59: df-cap — a hot shingle shared by every doc cannot explode the pair join") {
+    // 60 docs all open with the same boilerplate sentence (4 hot
+    // 2-gram shingles, df=60 each) then diverge into unique tails.
+    // Uncapped, the hot shingles alone make 60·59/2 = 1770 candidate
+    // pairs; with dfCap=10 they are dropped from candidate generation
+    // and the join emits NOTHING (the unique tails share no shingle) —
+    // the bounded-intermediate property VERDICT r2 #5 asks for.
+    val docs = (1L to 60L).map { id =>
+      (id, s"shared boiler plate intro text unique${id}a unique${id}b unique${id}c")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2,
+      minJaccard = 0.0, dfCap = 10L)
+    assert(capped.count() == 0L, "df-capped join must drop boilerplate-only pairs")
+    val cappedCont = Dedup.containment(docs, "doc_id", "text", n = 2,
+      minContainPpm = 1L, dfCap = 10L)
+    assert(cappedCont.count() == 0L)
+    // uncapped (cap above every df) the same corpus makes ALL pairs —
+    // the quadratic blowup the cap exists to prevent
+    assert(Dedup.ngramJaccard(docs, "doc_id", "text", n = 2,
+      minJaccard = 0.0, dfCap = 10000L).count() == 60L * 59 / 2)
+    // and when the cap does NOT bind, capped == uncapped exactly
+    val mixed = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words alpha beta gamma delta more tail words"),
+      (3L, "alpha beta elsewhere entirely")).toDF("doc_id", "text")
+    val loose = Dedup.ngramJaccard(mixed, "doc_id", "text", n = 2, minJaccard = 0.0, dfCap = 10000L)
+      .as[(Long, Long, Double)].collect().toSet
+    val tight = Dedup.ngramJaccard(mixed, "doc_id", "text", n = 2, minJaccard = 0.0, dfCap = 3L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(loose == tight && loose.nonEmpty)
+  }
+
   test("T59: randomized — containment matches brute force, dominates Jaccard, small side dominates") {
     val rnd = new scala.util.Random(7)
     val vocab = (0 until 12).map(i => s"w$i")

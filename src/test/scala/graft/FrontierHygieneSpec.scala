@@ -27,6 +27,16 @@ class FrontierHygieneSpec extends AnyFunSuite {
     assert(strip("http://a.test/p?xutm_source=1&flag") == "http://a.test/p?xutm_source=1&flag")
   }
 
+  test("T50: raw (non-canonicalized) URLs keep their fragment") {
+    // the fragment must not ride inside the last query param and get
+    // stripped with it — split it off, filter, re-append
+    assert(strip("http://a.test/p?utm_source=x#frag") == "http://a.test/p#frag")
+    assert(strip("http://a.test/p?utm_source=x&a=1#frag") == "http://a.test/p?a=1#frag")
+    assert(strip("http://a.test/p#frag") == "http://a.test/p#frag")
+    // fragment containing '#' and '?' survives verbatim
+    assert(strip("http://a.test/p?gclid=z#a#b?c") == "http://a.test/p#a#b?c")
+  }
+
   test("T50: strip_tracking_params is idempotent") {
     val urls = Seq(
       "http://a.test/p?utm_source=n&a=1&fbclid=Z",

@@ -76,6 +76,66 @@ class SearchAndStreamSpec extends AnyFunSuite {
       Seq("http://a.test/1"))
   }
 
+  test("boolean operators: OR / NOT / parens (Whoosh parser parity)") {
+    val se = new SearchEngine(spark, docs)
+    // a OR b: union of posting sets
+    assert(se.searchAnd("spark OR slow").as[String].collect().toSeq ==
+      Seq("http://a.test/1", "http://a.test/2", "http://b.test/1"))
+    // a NOT b: difference — scan∈{a1,a2}, slow∈{a2}
+    assert(se.searchAnd("scan NOT slow").as[String].collect().toSeq ==
+      Seq("http://a.test/1"))
+    // Whoosh precedence: infix OR binds its neighbors tighter than the
+    // implicit AND — `spark fast OR slow` is spark AND (fast OR slow),
+    // NOT (spark AND fast) OR slow (which would include a.test/2)
+    assert(se.searchAnd("spark fast OR slow").as[String].collect().toSeq ==
+      Seq("http://a.test/1"))
+    // parens group: (scan OR unrelated) NOT slow
+    assert(se.searchAnd("(scan OR unrelated) NOT slow").as[String].collect().toSeq ==
+      Seq("http://a.test/1", "http://c.test/1"))
+    // standalone NOT is complement semantics
+    assert(se.searchAnd("NOT spark").as[String].collect().toSeq ==
+      Seq("http://a.test/2", "http://c.test/1"))
+    // operators are UPPERCASE-only: lowercase 'or' is an ordinary term
+    // (stems to 'or', present nowhere) — the query becomes a 3-way AND
+    assert(se.searchAnd("spark or join").count() == 0)
+  }
+
+  test("boolean operators: ranked search restricts candidates, scores positives") {
+    val se = new SearchEngine(spark, docs)
+    // OR: all three matching docs rank; the unrelated doc is excluded
+    val or = se.search("spark OR slow", k = 10).select($"url").as[String].collect()
+    assert(or.toSet == Set("http://a.test/1", "http://a.test/2", "http://b.test/1"))
+    // NOT excludes a doc that WOULD have scored on the positive term
+    val not = se.search("scan NOT slow", k = 10).select($"url").as[String].collect()
+    assert(not.toSeq == Seq("http://a.test/1"))
+    // field-restricted boolean: title:spark hits only a.test/1's title
+    // ('sparkles' stems to 'sparkl'); NOT title:slow would drop a.test/2
+    val fld = se.search("title:spark NOT title:slow", k = 10)
+      .select($"url").as[String].collect()
+    assert(fld.toSeq == Seq("http://a.test/1"))
+    // explicit AND enforces conjunction in ranked search: fast∈{a1} only
+    val and = se.search("spark AND fast", k = 10).select($"url").as[String].collect()
+    assert(and.toSeq == Seq("http://a.test/1"))
+  }
+
+  test("search results carry crawl_date (stored-field parity, C5 format)") {
+    // docs without the column: reference's stored-field default
+    val se = new SearchEngine(spark, docs)
+    val noDate = se.search("spark", k = 2).select($"crawl_date").as[String].collect()
+    assert(noDate.nonEmpty && noDate.forall(_ == "unknown"))
+    // docs with a timestamp column: formatted %Y-%m-%d %H:%M:%S
+    val dated = docs.withColumn("crawl_date",
+      to_timestamp(lit("2025-06-01 12:34:56")))
+    val se2 = new SearchEngine(spark, dated)
+    val got = se2.search("spark", k = 2).select($"crawl_date").as[String].collect()
+    assert(got.nonEmpty && got.forall(_ == "2025-06-01 12:34:56"))
+    // pre-formatted string column passes through untouched
+    val dated3 = docs.withColumn("crawl_date", lit("2025-06-01 12:34:56"))
+    val got3 = new SearchEngine(spark, dated3).search("spark", k = 2)
+      .select($"crawl_date").as[String].collect()
+    assert(got3.nonEmpty && got3.forall(_ == "2025-06-01 12:34:56"))
+  }
+
   test("search: BM25F field weights change the ranking") {
     // query 'spark': b.test/1 has 3x 'spark' in content (no title match
     // — 'sparkles' stems to 'sparkl'); a.test/1 has it in the title.

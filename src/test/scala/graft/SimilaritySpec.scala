@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/**
+ * Certifies the bucketed default near-dup operator
+ * ([[Similarity.lshNearestNeighbor]], q25) against the brute-force NN
+ * oracle ([[Similarity.nearestNeighbor]] — TEST ORACLE ONLY, an O(N²)
+ * cross join), the same oracle relationship q59 uses for pHash pairs:
+ * the scale-path operator must be EXACT within its candidate structure,
+ * and must agree with the global brute force wherever the bucketing
+ * did not exclude the true neighbor.
+ */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val (dim, nPlanes) = (64, 4)
+
+  private lazy val emb = graft.queries.Tables.embeddings(spark, sf)
+
+  test("lshNearestNeighbor == brute force restricted to the query's bucket") {
+    val buckets = Similarity.signLshBucket(emb, "vec_id", "embedding", dim, nPlanes)
+      .select($"vec_id".cast("long"), $"bucket").as[(Long, Int)].collect().toMap
+    val bucketed = Similarity.lshNearestNeighbor(emb, "vec_id", "embedding", dim, nPlanes)
+      .select($"vec_id".cast("long"), $"nn_id".cast("long"), $"sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute-force ALL pair sims (oracle): rank within the query's bucket
+    val allPairs = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        k = emb.count().toInt)
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long"), $"sim")
+      .as[(Long, Long, Double)].collect()
+    val wantByQuery = allPairs.groupBy(_._1).map { case (q, rows) =>
+      val inBucket = rows.filter(r => buckets(r._2) == buckets(q))
+        .sortBy(r => (-r._3, r._2))
+      q -> inBucket.headOption.map(r => (r._2, r._3))
+    }
+    // exactness: the bucketed operator returns precisely the within-
+    // bucket argmax for every vector, and no row for bucket singletons
+    wantByQuery.foreach { case (q, want) =>
+      assert(bucketed.get(q) == want, s"vec $q: got ${bucketed.get(q)} want $want")
+    }
+    assert(bucketed.nonEmpty, "bucketed NN returned nothing — fixture too small")
+    // the structure must actually bind at this size: at least one vector
+    // has its TRUE nn outside its bucket (else the test proves nothing)
+    val globalNn = allPairs.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.minBy(r => (-r._3, r._2))._2
+    }
+    assert(globalNn.exists { case (q, nn) => buckets(nn) != buckets(q) },
+      "every true NN shares its query's bucket — shrink nPlanes to make bucketing bind")
+    // recall contract: where the true NN IS in the query's bucket, the
+    // bucketed answer equals the global brute-force answer
+    globalNn.foreach { case (q, nn) =>
+      if (buckets(nn) == buckets(q))
+        assert(bucketed(q)._1 == nn, s"vec $q: bucketed ${bucketed(q)._1} != global $nn")
+    }
+  }
+}
