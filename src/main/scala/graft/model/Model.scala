@@ -30,15 +30,31 @@ case class ImageRow(
     caption: String,
     phash: Long)
 
+/** One `Allow`/`Disallow` line in file order; empty path on an allow
+  * line is RobotFileParser's allow-everything rule. */
+case class RobotsLine(allow: Boolean, path: String)
+
 /** robots.txt rules for one host (S4/F4/J4). `robotsFailed` marks a
   * host whose robots.txt fetch errored: still permissive on paths
   * (v3, `crawler/crawler_node.py:50-52`) but throttled to the v1
-  * conservative delay (`archive/crawler_node.py:68-75`). */
+  * conservative delay (`archive/crawler_node.py:68-75`).
+  *
+  * `rules` carries the applicable group's FULL ordered Allow/Disallow
+  * lines (first match wins — RobotFileParser's decision procedure), so
+  * Allow-before-Disallow grammars evaluate exactly; when empty, the
+  * prefix-only `disallowPrefixes` form applies (for pure-Disallow
+  * grammars the two agree). */
 case class RobotsRule(
     host: String,
     disallowPrefixes: Seq[String],
     crawlDelay: Double,
-    robotsFailed: Boolean = false)
+    robotsFailed: Boolean = false,
+    rules: Seq[RobotsLine] = Seq.empty) {
+  /** The ordered-line form, derived from the prefixes when the rule was
+    * built prefix-only — one uniform shape for the pipeline predicate. */
+  def effectiveRules: Seq[RobotsLine] =
+    if (rules.nonEmpty) rules else disallowPrefixes.map(RobotsLine(false, _))
+}
 
 /** Outcome of fetching one frontier entry (F12 sum-type row). */
 case class FetchResult(

@@ -150,8 +150,8 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     frontierDf.join(flogKeys, Seq("url"), "left_anti")
 
   private def robotsDf: DataFrame =
-    robots.map(r => (r.host, r.disallowPrefixes, r.crawlDelay, r.robotsFailed))
-      .toDF("host", "disallow_prefixes", "crawl_delay", "robots_failed")
+    robots.map(r => (r.host, r.effectiveRules, r.crawlDelay, r.robotsFailed))
+      .toDF("host", "rules", "crawl_delay", "robots_failed")
 
   // ---------- one wave ----------
 
@@ -213,8 +213,11 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       val joined = pend.join(broadcast(robotsDf), Seq("host"), "left")
         .withColumn("__path", url_path($"url"))
         .localCheckpoint(false)
+      // ordered first-match-wins rules (full RobotFileParser semantics,
+      // Allow lines exact); for pure-Disallow hosts this agrees with the
+      // legacy prefix-only predicate bit-for-bit
       val disallowedCol =
-        graft.robots.RobotsTxt.disallowedCol($"__path", $"disallow_prefixes")
+        graft.robots.RobotsTxt.disallowedColOrdered($"__path", $"rules")
       (joined.filter(!disallowedCol), Some(joined.filter(disallowedCol)))
     }
 

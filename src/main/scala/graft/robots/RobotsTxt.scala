@@ -30,15 +30,35 @@ import graft.model.RobotsRule
  */
 object RobotsTxt {
 
-  /** Column-level disallow predicate — THE one implementation shared by
-    * the crawl wave (F4, CrawlPipeline.runWave) and the oracle query
-    * (q55): a row is disallowed iff a rules row joined on (null-safe)
-    * and some disallow prefix matches the url path. Null prefixes ⇒
-    * allowed (the reference's permissive fetch-failure default). */
+  /** Column-level disallow predicate over prefix-only rule rows (q55's
+    * oracle shape): a row is disallowed iff a rules row joined on
+    * (null-safe) and some disallow prefix matches the url path. Null
+    * prefixes ⇒ allowed (the reference's permissive fetch-failure
+    * default). For Allow-bearing grammars use [[disallowedColOrdered]]
+    * — on pure-Disallow rule sets the two agree (the first matching
+    * line of an all-disallow list is a disallow iff any line matches). */
   def disallowedCol(pathCol: org.apache.spark.sql.Column,
                     prefixesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{exists, startswith}
     prefixesCol.isNotNull && exists(prefixesCol, p => startswith(pathCol, p))
+  }
+
+  /** Column-level FIRST-MATCH-WINS disallow predicate over ordered
+    * `array<struct<allow:boolean, path:string>>` rule rows — the full
+    * RobotFileParser decision procedure (first rule whose path is a
+    * prefix of the url path decides; empty path matches everything; no
+    * match ⇒ allowed), so `Allow: /public` before `Disallow: /`
+    * evaluates exactly. Pure built-in column logic (higher-order
+    * `filter` keeps file order + `element_at` head) on the tiny
+    * broadcast rules array — no Scala UDF on the wave's hottest filter.
+    * Null rules ⇒ allowed (permissive fetch-failure default). */
+  def disallowedColOrdered(pathCol: org.apache.spark.sql.Column,
+                           rulesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{element_at, filter, length, lit, size, startswith}
+    val matching = filter(rulesCol, r =>
+      length(r.getField("path")) === 0 || startswith(pathCol, r.getField("path")))
+    rulesCol.isNotNull && size(matching) > lit(0) &&
+      !element_at(matching, 1).getField("allow")
   }
 
   /** One `Allow`/`Disallow` line, in file order. */
@@ -128,12 +148,12 @@ object RobotsTxt {
   }
 
   /** Flatten a parsed body into the pipeline's per-host rule row
-    * ([[RobotsRule]]): the applicable group's Disallow prefixes and its
-    * crawl-delay (default when absent). Allow lines that precede a
-    * Disallow for the same subtree cannot be expressed in prefix-only
-    * form, so hosts using Allow should be evaluated via [[Parsed]]
-    * directly; for the Disallow/Crawl-delay grammar the reference's
-    * fixtures use, the two forms agree. */
+    * ([[RobotsRule]]): the applicable group's FULL ordered
+    * Allow/Disallow lines (first-match-wins, evaluated by
+    * [[disallowedColOrdered]] — Allow-before-Disallow grammars are
+    * exact), the Disallow prefixes (the legacy prefix-only projection,
+    * still what q55's oracle mirrors), and its crawl-delay (default
+    * when absent). */
   def toRule(host: String, body: String, userAgent: String = "*",
              defaultDelay: Double = 1.0): RobotsRule = {
     val p = parse(body)
@@ -142,7 +162,8 @@ object RobotsTxt {
       .orElse(p.groups.find(_.isDefault))
     RobotsRule(host,
       g.map(_.rules.collect { case Rule(false, path) if path.nonEmpty => path }).getOrElse(Seq.empty),
-      g.flatMap(_.crawlDelay).getOrElse(defaultDelay))
+      g.flatMap(_.crawlDelay).getOrElse(defaultDelay),
+      rules = g.map(_.rules.map(r => graft.model.RobotsLine(r.allow, r.path))).getOrElse(Seq.empty))
   }
 
   /** Unfetchable robots.txt (fetch error): permissive default, matching

@@ -41,8 +41,12 @@ object CrawlOracle {
       if (pending.isEmpty) done = true
       else {
         val (denied, allowed) = pending.partition { e =>
+          // ordered first-match-wins (RobotFileParser; Allow lines exact)
+          // — identical to the prefix form on pure-Disallow rule sets
           robotsByHost.get(e.host).exists(r =>
-            r.disallowPrefixes.exists(p => UrlCanon.pathOf(e.url).startsWith(p)))
+            r.effectiveRules
+              .find(l => l.path.isEmpty || UrlCanon.pathOf(e.url).startsWith(l.path))
+              .exists(!_.allow))
         }
         denied.foreach(e => fetched(e.url) = Fetch(e.url, wave, -1, success = false))
 

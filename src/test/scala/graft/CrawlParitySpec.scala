@@ -209,6 +209,49 @@ class CrawlParitySpec extends AnyFunSuite {
       s"fetchlog has $flogFiles files after $lastWave waves — compaction did not run")
   }
 
+  test("robots Allow lines: ordered first-match-wins verdicts match RobotFileParser") {
+    // `Allow: /p/1` before `Disallow: /p` — inexpressible in the
+    // prefix-only projection (which would deny everything under /p);
+    // the ordered-rules column predicate must carve the Allow out
+    // exactly as RobotFileParser does, and the crawl must stay
+    // oracle-exact under the ordered semantics.
+    val aWeb = SyntheticWeb.generate(seed = 21L, nHosts = 3, nPages = 60)
+    val h0 = SyntheticWeb.hostName(0)
+    val body = "User-agent: *\nAllow: /p/1\nDisallow: /p\n"
+    val rule = graft.robots.RobotsTxt.toRule(h0, body)
+    assert(rule.rules.exists(_.allow), "toRule must carry the Allow line")
+    val parsed = graft.robots.RobotsTxt.parse(body)
+    // explicit seeds on both sides of the carve so the test cannot
+    // silently skip it if the link graph misses /p/1*
+    val seeds = aWeb.seeds ++ Seq(s"http://$h0/p/1", s"http://$h0/p/2")
+    val c = CrawlConfig(waveSeconds = 20.0, nPartitions = 4,
+      hostSaltTarget = 4, bloomExpectedSeen = 10000)
+    val root = Files.createTempDirectory("crawlAl").toString
+    val fetcher: Fetcher = SyntheticFetcher.forWeb(aWeb)
+    val p = new CrawlPipeline(spark, new IceLite(root),
+      spark.sparkContext.broadcast(fetcher), Seq(rule), c)
+    p.init(seeds)
+    p.run(maxWaves = 80)
+    val log = new IceLite(root).read(spark, "fetchlog")
+      .select($"url", $"host", $"wave", $"status").as[(String, String, Int, Int)].collect()
+    // every h0 verdict equals the stdlib parser's
+    val h0Log = log.filter(_._2 == h0)
+    assert(h0Log.nonEmpty)
+    h0Log.foreach { case (u, _, _, status) =>
+      val want = parsed.canFetch("*", UrlCanon.pathOf(u))
+      assert((status != -1) == want, s"$u: fetched=${status != -1} vs RobotFileParser $want")
+    }
+    // the carve actually bound: /p/1* fetched, sibling /p/2* denied
+    assert(h0Log.exists(r => UrlCanon.pathOf(r._1).startsWith("/p/1") && r._4 != -1))
+    assert(h0Log.exists(r => UrlCanon.pathOf(r._1).startsWith("/p/2") && r._4 == -1))
+    // full-crawl oracle parity under ordered Allow rules
+    val want = CrawlOracle.run(aWeb.copy(robots = Seq(rule), seeds = seeds),
+      c.waveSeconds, c.defaultDelay, 80)
+    val got = log.map(r => r._1 -> ((r._3, r._4))).toMap
+    val wantF = want.fetches.map { case (u, f) => u -> ((f.wave, f.status)) }
+    assert(got == wantF, "Allow-rule crawl must stay oracle-exact")
+  }
+
   test("failed robots fetch: host throttled at the v1 conservative 3 s budget (J4)") {
     // host 0 (the hot host) gets a FAILED robots fetch: paths stay
     // permissive but the delay is the conservative 3 s
