@@ -62,6 +62,44 @@ object Curation {
   }
 
   /**
+   * Temperature-weighted source mixing (public practice: XLM-R / mT5
+   * multinomial sampling with exponent α = 0.5): a training mix that
+   * samples source i with probability q_i ∝ p_i^α, where p_i is the
+   * source's token share — low-resource sources are oversampled
+   * (q_i > p_i), dominant ones damped, the standard fix for a corpus
+   * where one crawl dump would otherwise drown the rest.
+   *
+   * Determinism: the N^α factor cancels in the normalization, so
+   * q_i ∝ sqrt(n_i). sqrt is IEEE-correctly-rounded and
+   * floor(·×10⁶) is engine-portable, so s_i = floor(sqrt(n_i)·10⁶) is
+   * a LONG both engines agree on — and from there everything is
+   * integer ppm fixed point: the normalizing sums are integer (exact,
+   * associative, partition-order independent — no float sum ever
+   * crosses the wire) and the shares are floor divisions. Bounds: the
+   * ×10⁶ ppm scaling overflows past ~9.2×10¹² tokens in one source;
+   * corpora past that scale the ppm constant down.
+   *
+   * Scale: one groupBy(stratum) aggregate over the corpus + a 1-row
+   * totals broadcast — the per-source table is vocabulary-sized
+   * (thousands of rows at 100 TB), so the mix math is free.
+   */
+  def temperatureMix(df: DataFrame, stratum: String, nTokens: Column): DataFrame = {
+    val per = df.groupBy(col(stratum))
+      .agg(sum(nTokens.cast("long")).as("n_tokens"))
+      .withColumn("s_i", floor(sqrt(col("n_tokens").cast("double")) * 1000000d).cast("long"))
+    val tot = per.agg(sum(col("n_tokens")).as("NN"), sum(col("s_i")).as("SS"))
+    per.crossJoin(broadcast(tot))
+      .select(col(stratum), col("n_tokens"),
+        expr("n_tokens * 1000000 div NN").as("p_ppm"),
+        expr("s_i * 1000000 div SS").as("q_ppm"),
+        // a sub-ppm source has p_ppm = 0: oversample undefined (null),
+        // not a division error
+        when(expr("n_tokens * 1000000 div NN") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(s_i * 1000000 div SS) * 1000000 div (n_tokens * 1000000 div NN)"))
+          .as("oversample_ppm"))
+  }
+
+  /**
    * Benchmark decontamination (training-data hygiene): the fraction of
    * each document's DISTINCT word n-grams that appear anywhere in a
    * held-out benchmark set; `contaminated` flags fractions >=

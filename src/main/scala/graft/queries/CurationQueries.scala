@@ -71,6 +71,34 @@ object CurationQueries {
       | round(pow(CAST(n_tokens AS DOUBLE), 0.7) / z, 6) AS mix_weight
       |FROM per, tot ORDER BY source""".stripMargin
 
+  /** q105 (T64): temperature-weighted source mixing — α=0.5 multinomial
+    * sampling shares per source (q_i ∝ √n_i; N^α cancels) with the
+    * oversampling factor q/p, all in integer ppm fixed point (the only
+    * float op is the correctly-rounded sqrt, floored into a long before
+    * any sum — both normalizing sums are integer, so the result is
+    * partition-order- and engine-exact). Complements q53's float
+    * mix_weight report: this is the sampling-share form a data loader
+    * consumes. */
+  def q105TemperatureMix(s: SparkSession, d: String): DataFrame =
+    Curation.temperatureMix(documents(s, d), "source",
+        size(graft.ops.TextAnalysis.tokensCol(col("text"))))
+      .orderBy(col("source"))
+
+  val q105Sql: String =
+    """WITH dt AS (
+      | SELECT source, CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS BIGINT) AS nt
+      | FROM documents),
+      |per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM dt GROUP BY source),
+      |s AS (SELECT source, n_tokens,
+      |       CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS s_i FROM per),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nn, CAST(sum(s_i) AS BIGINT) AS ss FROM s)
+      |SELECT source, n_tokens,
+      | (n_tokens * 1000000) // (SELECT nn FROM tot) AS p_ppm,
+      | (s_i * 1000000) // (SELECT ss FROM tot) AS q_ppm,
+      | CASE WHEN (n_tokens * 1000000) // (SELECT nn FROM tot) = 0 THEN NULL
+      |      ELSE ((s_i * 1000000) // (SELECT ss FROM tot)) * 1000000 // ((n_tokens * 1000000) // (SELECT nn FROM tot)) END AS oversample_ppm
+      |FROM s ORDER BY source""".stripMargin
+
   /** q61: benchmark decontamination — every 100th document plays the
     * held-out benchmark; docs sharing >= 50% of their distinct 3-grams
     * with it (the benchmark docs themselves plus their exact/near

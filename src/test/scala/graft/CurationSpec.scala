@@ -528,6 +528,21 @@ class CurationSpec extends AnyFunSuite {
       minContainPpm = 1000001L).count() == 0L)
   }
 
+  test("T64: temperature mixing oversamples low-resource sources, exact ppm") {
+    // two sources, 9:1 token split; α=0.5 ⇒ q ∝ sqrt(n): sqrt(9):sqrt(1)
+    // = 3:1, so q_A = 750000 ppm (damped from p_A = 900000) and
+    // q_B = 250000 (oversampled from 100000, factor 2.5)
+    val df = Seq(("A", 4L), ("A", 5L), ("B", 1L)).toDF("source", "nt")
+    val got = Curation.temperatureMix(df, "source", col("nt"))
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("A", 9L, 900000L, 750000L, Some(833333L)),
+      ("B", 1L, 100000L, 250000L, Some(2500000L))))
+    // the mix shares q sum to ~1e6 and the order of p is preserved
+    assert(got.map(_._4).sum >= 999999L && got.map(_._4).sum <= 1000000L)
+  }
+
   test("T5/T59: df-cap — a hot shingle shared by every doc cannot explode the pair join") {
     // 60 docs all open with the same boilerplate sentence (4 hot
     // 2-gram shingles, df=60 each) then diverge into unique tails.
