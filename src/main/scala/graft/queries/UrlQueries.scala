@@ -175,6 +175,52 @@ object UrlQueries {
       | CAST(CASE WHEN doc_id % 4 = 0 THEN 2.0 ELSE 1.0 END AS DOUBLE) AS delay
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q106: ordered robots rules (F4 since r3) through the driver gate —
+    * first-match-wins over a rule list with an Allow carved ABOVE a
+    * broader Disallow, the grammar the prefix-only q55 form cannot
+    * express. Rules are built from robots.txt TEXT via the real parser
+    * ([[graft.robots.RobotsTxt.toRule]]) and evaluated by the same
+    * `disallowedColOrdered` column predicate the crawl wave runs; the
+    * oracle hand-unrolls the first-match decision for each host's fixed
+    * rule list, so a hash match certifies the ordered evaluation
+    * end-to-end from text. Paths /p/0../p/19 make the /p/1 Allow match
+    * /p/1 and /p/10../p/19 — prefix semantics, deliberately. */
+  def q106RobotsOrdered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // h0/h2: Allow /p/1 above Disallow /p (carve); h1: Disallow /p/1
+    // only; h3: no robots row (permissive default through the left join)
+    val carved = "User-agent: *\nAllow: /p/1\nDisallow: /p\n"
+    val narrow = "User-agent: *\nDisallow: /p/1\n"
+    val rules = Seq(
+      graft.robots.RobotsTxt.toRule("h0", carved),
+      graft.robots.RobotsTxt.toRule("h1", narrow),
+      graft.robots.RobotsTxt.toRule("h2", carved))
+      .map(r => (r.host, r.effectiveRules))
+      .toDF("host", "rules")
+    documents(s, d)
+      .select($"doc_id",
+        concat(lit("h"), ($"doc_id" % 4).cast("string")).as("host"),
+        concat(lit("/p/"), ($"doc_id" % 20).cast("string")).as("path"))
+      .join(broadcast(rules), Seq("host"), "left")
+      .withColumn("denied",
+        graft.robots.RobotsTxt.disallowedColOrdered($"path", $"rules"))
+      .select($"doc_id", $"host", $"path", $"denied")
+      .orderBy($"doc_id")
+  }
+
+  val q106Sql: String =
+    """SELECT doc_id, host, path,
+      | CASE host
+      |  WHEN 'h1' THEN starts_with(path, '/p/1')
+      |  WHEN 'h3' THEN FALSE
+      |  ELSE (NOT starts_with(path, '/p/1')) AND starts_with(path, '/p')
+      | END AS denied
+      |FROM (
+      | SELECT doc_id, concat('h', doc_id % 4) AS host,
+      |  concat('/p/', doc_id % 20) AS path
+      | FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** q92 (T50): tracking-parameter strip — utm-prefixed/click-id params are
     * removed, content params survive in order, an all-tracking query
     * drops its '?'. The oracle states each expected form directly, so

@@ -73,6 +73,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q25 re-scans the corpus:\n${p.take(2000)}")
   }
 
+  test("boolean search: AND stays one aggregate (no join), OR/NOT stay equi-joined") {
+    // the r3 boolean AST must not regress the v1 plan shapes: a plain
+    // AND query is the single countDistinct aggregate over the
+    // filtered postings (zero joins), and boolean combinators evaluate
+    // as union/semi/anti set algebra — never a cartesian
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val docs = Seq(("u1", "t", "alpha beta", "d", 1), ("u2", "t", "beta gamma", "d", 1))
+      .toDF("url", "title", "content", "domain", "crawl_wave")
+    val se = new graft.search.SearchEngine(spark2, docs)
+    val andPlan = se.searchAnd("alpha beta").queryExecution.executedPlan.toString
+    assert(!andPlan.contains("Join"), s"plain AND query plans a join:\n$andPlan")
+    for (q <- Seq("alpha OR beta", "alpha NOT beta", "(alpha OR beta) NOT gamma")) {
+      val p = se.searchAnd(q).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"boolean query '$q' plans a cartesian:\n$p")
+    }
+  }
+
   test("q63: semantic-dedup pair join is cell-bounded over the materialized table") {
     // semanticDedup localCheckpoints (id, scaled, norm2) and the cell
     // assignment before the within-cell self-join: the executed plan
