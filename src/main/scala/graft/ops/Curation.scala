@@ -62,6 +62,54 @@ object Curation {
   }
 
   /**
+   * Curation funnel attribution — "which filter is eating my corpus":
+   * given the pipeline's ORDERED (stage, keep-predicate) list, label
+   * every row with the FIRST stage that rejects it (null = survives
+   * the whole funnel). The label is one coalesce(when…) chain — pure
+   * column logic, codegen'd, a single corpus pass with no shuffle —
+   * which is what makes the view affordable to emit on every 100-TB
+   * curation run rather than only when debugging.
+   */
+  def funnelLabel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    df.withColumn("dropped_by",
+      stages.map { case (name, keep) => when(!keep, lit(name)) }
+        .reduce(coalesce(_, _)))
+  }
+
+  /**
+   * The per-stage funnel report over [[funnelLabel]] output: for each
+   * stage in order, rows reaching it (`n_in`), rows it dropped
+   * (`n_dropped`), rows it passed through (`n_out` — the next stage's
+   * `n_in`). One corpus-wide groupBy on the label (map-side partial),
+   * then the cumulative math runs on the STAGES-sized frame (a handful
+   * of rows — the single-partition window is over #stages rows, not
+   * the corpus).
+   */
+  def funnelReport(labeled: DataFrame, stages: Seq[String]): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    // ONE corpus pass: the per-label counts (stages+1 rows, survivors
+    // under the null label) also carry the total — no second count job
+    val drops = labeled.groupBy(col("dropped_by"))
+      .agg(count(lit(1)).as("n_dropped"))
+      .localCheckpoint()
+    val total = drops.agg(sum(col("n_dropped")).as("n_total"))
+    val stageDf = stages.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }.toDF("stage_idx", "stage")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("stage_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    stageDf
+      .join(drops, col("stage") === col("dropped_by"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+      .withColumn("n_in", col("n_total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .withColumn("n_out", col("n_in") - col("n_dropped"))
+      .select(col("stage_idx"), col("stage"), col("n_in"), col("n_dropped"), col("n_out"))
+  }
+
+  /**
    * Temperature-weighted source mixing (public practice: XLM-R / mT5
    * multinomial sampling with exponent α = 0.5): a training mix that
    * samples source i with probability q_i ∝ p_i^α, where p_i is the

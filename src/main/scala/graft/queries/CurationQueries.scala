@@ -99,6 +99,52 @@ object CurationQueries {
       |      ELSE ((s_i * 1000000) // (SELECT ss FROM tot)) * 1000000 // ((n_tokens * 1000000) // (SELECT nn FROM tot)) END AS oversample_ppm
       |FROM s ORDER BY source""".stripMargin
 
+  /** q107 (T65): curation funnel attribution — q58's filter chain plus
+    * an english-only stage, reported as the per-stage funnel (rows
+    * reaching / dropped by / passing each stage, first-failure
+    * attribution). Stage predicates are integer/equality only
+    * (stopword cut as n_stop·2 ≤ n_tokens), so the report is
+    * engine-exact. */
+  def q107CurationFunnel(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.ops.TextAnalysis.tokensCol(col("text"))
+    val base = documents(s, d).select(col("doc_id"), col("lang"),
+      size(toks).as("n_tokens"),
+      size(filter(toks, t =>
+        t.isin(graft.ops.TextAnalysis.EnStopwords.map(x => x: Any): _*))).as("n_stop"))
+    val stages = Seq(
+      "len_ok" -> (col("n_tokens") >= 20 && col("n_tokens") <= 1000),
+      "stopword" -> (col("n_stop") * 2 <= col("n_tokens")),
+      "english" -> (col("lang") === "en"))
+    Curation.funnelReport(Curation.funnelLabel(base, stages), stages.map(_._1))
+      .orderBy(col("stage_idx"))
+  }
+
+  val q107Sql: String =
+    """WITH t AS (
+      | SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tk
+      | FROM documents),
+      |q AS (
+      | SELECT doc_id, lang, len(tk) AS n_tokens,
+      |  len(list_filter(tk, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to' OR x='in')) AS n_stop
+      | FROM t),
+      |lab AS (
+      | SELECT CASE WHEN NOT (n_tokens BETWEEN 20 AND 1000) THEN 'len_ok'
+      |             WHEN NOT (n_stop * 2 <= n_tokens) THEN 'stopword'
+      |             WHEN NOT (lang = 'en') THEN 'english'
+      |        END AS dropped_by
+      | FROM q),
+      |agg AS (SELECT dropped_by, CAST(count(*) AS BIGINT) AS n_dropped FROM lab GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_dropped) AS BIGINT) AS n_total FROM agg),
+      |st AS (SELECT * FROM (VALUES (1, 'len_ok'), (2, 'stopword'), (3, 'english')) s(stage_idx, stage)),
+      |rep AS (
+      | SELECT st.stage_idx, st.stage, COALESCE(agg.n_dropped, 0) AS n_dropped
+      | FROM st LEFT JOIN agg ON agg.dropped_by = st.stage)
+      |SELECT stage_idx, stage,
+      | CAST((SELECT n_total FROM tot) - COALESCE(sum(n_dropped) OVER (ORDER BY stage_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+      | CAST(n_dropped AS BIGINT) AS n_dropped,
+      | CAST((SELECT n_total FROM tot) - COALESCE(sum(n_dropped) OVER (ORDER BY stage_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - n_dropped AS BIGINT) AS n_out
+      |FROM rep ORDER BY stage_idx""".stripMargin
+
   /** q61: benchmark decontamination — every 100th document plays the
     * held-out benchmark; docs sharing >= 50% of their distinct 3-grams
     * with it (the benchmark docs themselves plus their exact/near

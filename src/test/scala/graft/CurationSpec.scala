@@ -528,6 +528,33 @@ class CurationSpec extends AnyFunSuite {
       minContainPpm = 1000001L).count() == 0L)
   }
 
+  test("T65: curation funnel attributes each doc to its FIRST failing stage") {
+    // d1 fails stage 1 AND stage 3 — attributed to stage 1 only;
+    // d2 fails stage 2; d3 fails stage 3; d4, d5 survive
+    val df = Seq(
+      (1L, 5, "x"),   // a=false (a: v >= 10)
+      (2L, 15, "x"),  // a ok, b=false (b: v >= 20)
+      (3L, 20, "y"),  // a, b ok, c=false (c: tag == "x")
+      (4L, 30, "x"),
+      (5L, 40, "x")
+    ).toDF("id", "v", "tag")
+    val stages = Seq(
+      "a" -> (col("v") >= 10),
+      "b" -> (col("v") >= 20),
+      "c" -> (col("tag") === "x"))
+    val labeled = Curation.funnelLabel(df, stages)
+    assert(labeled.select($"id", $"dropped_by").as[(Long, Option[String])]
+      .collect().toMap == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> Some("c"),
+        4L -> None, 5L -> None))
+    val got = Curation.funnelReport(labeled, stages.map(_._1))
+      .orderBy($"stage_idx")
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", 5L, 1L, 4L),
+      (2, "b", 4L, 1L, 3L),
+      (3, "c", 3L, 1L, 2L)))
+  }
+
   test("T64: temperature mixing oversamples low-resource sources, exact ppm") {
     // two sources, 9:1 token split; α=0.5 ⇒ q ∝ sqrt(n): sqrt(9):sqrt(1)
     // = 3:1, so q_A = 750000 ppm (damped from p_A = 900000) and
