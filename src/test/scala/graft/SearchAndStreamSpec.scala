@@ -118,6 +118,47 @@ class SearchAndStreamSpec extends AnyFunSuite {
     assert(and.toSeq == Seq("http://a.test/1"))
   }
 
+  test("boolean search: 200 random structured queries match a set-algebra model") {
+    // model-based check: generate a random query AST as a STRING
+    // (compounds always parenthesized, so precedence — pinned by the
+    // deterministic cases above — is out of scope here) and compute the
+    // expected url set recursively alongside; searchAnd must agree on
+    // every one. Vocabulary chosen so no two words share a Porter stem.
+    val vocab = Vector("apple", "banana", "cherry", "dragon", "elephant", "falcon")
+    val rnd = new scala.util.Random(1234)
+    val corpus: Map[String, Set[String]] = (1 to 8).map { i =>
+      s"http://m.test/$i" -> (0 until 3 + rnd.nextInt(3)).map(_ => vocab(rnd.nextInt(vocab.size))).toSet
+    }.toMap
+    val mdocs = corpus.toSeq.map { case (u, ws) =>
+      (u, "t", ws.mkString(" "), "m.test", 1) }
+      .toDF("url", "title", "content", "domain", "crawl_wave")
+    val se = new SearchEngine(spark, mdocs)
+    val all = corpus.keySet
+    def gen(depth: Int): (String, Set[String]) =
+      if (depth == 0 || rnd.nextInt(3) == 0) {
+        val w = vocab(rnd.nextInt(vocab.size))
+        (w, corpus.filter(_._2.contains(w)).keySet)
+      } else rnd.nextInt(4) match {
+        case 0 => // implicit AND
+          val (qa, sa) = gen(depth - 1); val (qb, sb) = gen(depth - 1)
+          (s"($qa $qb)", sa intersect sb)
+        case 1 =>
+          val (qa, sa) = gen(depth - 1); val (qb, sb) = gen(depth - 1)
+          (s"($qa OR $qb)", sa union sb)
+        case 2 =>
+          val (qa, sa) = gen(depth - 1)
+          (s"(NOT $qa)", all diff sa)
+        case _ =>
+          val (qa, sa) = gen(depth - 1); val (qb, sb) = gen(depth - 1)
+          (s"($qa AND $qb)", sa intersect sb)
+      }
+    for (_ <- 1 to 200) {
+      val (q, want) = gen(2 + rnd.nextInt(2))
+      val got = se.searchAnd(q).as[String].collect().toSet
+      assert(got == want, s"query <$q>: got $got want $want")
+    }
+  }
+
   test("search results carry crawl_date (stored-field parity, C5 format)") {
     // docs without the column: reference's stored-field default
     val se = new SearchEngine(spark, docs)
