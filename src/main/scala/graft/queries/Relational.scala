@@ -31,8 +31,13 @@ object Relational {
       .agg(
         sum($"l_quantity".cast(DEC)).cast("double").as("sum_qty"),
         sum($"l_extendedprice".cast(DEC)).cast("double").as("sum_base_price"),
-        sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC)))
-          .cast("decimal(28,8)")).cast("double").as("sum_disc_price"),
+        // round the scale-8 decimal sum to scale 2 BEFORE the double
+        // cast: at sf0.1 the scale-8 significand exceeds 2^53 and the
+        // decimal->double conversion double-rounds differently per
+        // engine (1-ulp hash drift); at scale 2 the significand is
+        // exact in a double and the final /100 is one IEEE op
+        round(sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC)))
+          .cast("decimal(28,8)")), 2).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -41,7 +46,7 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+      | CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
       | count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -55,15 +60,17 @@ object Relational {
       .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(
-        sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC)))
-          .cast("decimal(28,8)")).cast("double").as("revenue"),
+        // scale-2 round before the double cast — same 2^53-significand
+        // rationale as q1's sum_disc_price
+        round(sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC)))
+          .cast("decimal(28,8)")), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"n_name")
   }
 
   val q2Sql: String =
     """SELECT n_name,
-      | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      | CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
       | count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
