@@ -1,3 +1,5 @@
+package graft.bench
+
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}

@@ -268,20 +268,81 @@ object Curation {
    * percent_rank = (rank−1)/(n−1): deterministic under ties (equal
    * scores share a percentile) and engine-portable (one IEEE division).
    *
-   * Scale: one window sort per stratum; sources ≫ partitions at corpus
-   * scale, so the sorts parallelize. For a single dominant stratum,
-   * replace the window with the range-partition + two-pass rank
-   * (the [[packSequences]] prefix-sum shape); pipelines that can accept
-   * approximation instead broadcast per-source `percentile_approx`
-   * thresholds and skip the sort entirely.
+   * Scale: `Window.partitionBy(stratum)` would hash-route EVERY row of a
+   * stratum into one task's sort — and real corpora are dump-skewed (one
+   * CommonCrawl dump can be most of the corpus), so the dominant stratum
+   * becomes a single-task sort of ~everything. The default here is
+   * therefore the exact range-partition two-pass rank (the
+   * [[packSequences]] prefix-sum shape, generalized to grouped ranks):
+   *
+   *   1. `repartitionByRange(stratum, raw_score)` + in-partition sort —
+   *      a dominant stratum spreads over MANY partitions because the
+   *      range boundaries cut on (stratum, score), not stratum alone;
+   *      rows with identical keys still land in one partition (the range
+   *      partitioner is a pure function of the key), so a tie group
+   *      never straddles a boundary.
+   *   2. One tiny driver pass over per-(partition, stratum) row counts —
+   *      at most nPartitions + #strata − 1 entries since each stratum
+   *      occupies a contiguous partition span — yields each partition's
+   *      within-stratum start offset and each stratum's total n.
+   *   3. A second partition-local pass assigns SQL RANK (ties share the
+   *      tie-group leader's rank) from offset + local position, then
+   *      percent_rank = (rank−1)/(n−1) (0.0 for n=1, as SQL defines it).
+   *
+   * Exactness: rank is a pure function of the (stratum, score) multiset,
+   * so the result is bit-identical to the window form at any
+   * partitioning — the window stays the cross-engine oracle. Pipelines
+   * that can accept approximation instead broadcast per-source
+   * `percentile_approx` thresholds and skip the sort entirely.
    */
   def calibrateQuality(df: DataFrame, id: String, stratum: String,
-                       score: Column, dropBelowPctl: Double = 0.1): DataFrame =
-    df.select(col(id), col(stratum), score.as("raw_score"))
-      .withColumn("pctl", percent_rank().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(stratum)).orderBy(col("raw_score"))))
-      .withColumn("keep", col("pctl") >= dropBelowPctl)
+                       score: Column, dropBelowPctl: Double = 0.1): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val base = df.select(col(id), col(stratum), score.as("raw_score"))
+      .repartitionByRange(nParts, col(stratum), col("raw_score"))
+      .sortWithinPartitions(col(stratum), col("raw_score"))
+      .localCheckpoint()
+    val si = base.schema.fieldIndex(stratum)
+    val vi = base.schema.fieldIndex("raw_score")
+    // pass 1: per-(partition, stratum) counts, in partition-scan order
+    val counts: Array[(Int, Any, Long)] = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r => val k = r.get(si); m.update(k, m.getOrElse(k, 0L) + 1L) }
+      m.iterator.map { case (k, n) => (pid, k, n) }.toList.iterator
+    }.collect()
+    // within-stratum start offset of each (pid, stratum) + per-stratum n
+    val totals = scala.collection.mutable.HashMap.empty[Any, Long]
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+    counts.sortBy(_._1).foreach { case (pid, k, n) =>
+      val seen = totals.getOrElse(k, 0L)
+      offsets((pid, k)) = seen
+      totals(k) = seen + n
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets.toMap)
+    val bcTot = spark.sparkContext.broadcast(totals.toMap)
+    val schema = base.schema
+      .add("pctl", org.apache.spark.sql.types.DoubleType)
+      .add("keep", org.apache.spark.sql.types.BooleanType)
+    // pass 2: partition-local rank assignment over the sorted rows
+    val ranked = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bcOff.value; val tot = bcTot.value
+      var curK: Any = null; var curV: Any = null
+      var seen = 0L; var rank = 0L; var started = false
+      it.map { r =>
+        val k = r.get(si); val v = r.get(vi)
+        if (!started || k != curK) {
+          curK = k; curV = v; started = true
+          seen = off((pid, k)); rank = seen + 1
+        } else if (v != curV) { curV = v; rank = seen + 1 }
+        seen += 1
+        val n = tot(k)
+        val pctl = if (n <= 1L) 0.0 else (rank - 1).toDouble / (n - 1).toDouble
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pctl :+ (pctl >= dropBelowPctl))
+      }
+    }
+    spark.createDataFrame(ranked, schema)
+  }
 
   /**
    * Source-mixing weights for corpus sampling: weight(source) ∝

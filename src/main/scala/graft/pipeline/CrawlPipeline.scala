@@ -20,7 +20,6 @@ import graft.urlnorm.urlfunctions._
 case class CrawlConfig(
     waveSeconds: Double = 30.0,   // politeness budget window per wave
     defaultDelay: Double = 1.0,   // crawl-delay when robots has none (`archive/crawler_node.py:34`)
-    failedRobotsDelay: Double = 3.0, // v1 conservative delay when the robots FETCH failed (`archive/crawler_node.py:68-75`)
     nPartitions: Int = 32,
     hostSaltTarget: Int = 8,      // target selected-URLs per (host,salt) partition key
     bloomExpectedSeen: Long = 1 << 20,
@@ -232,13 +231,13 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     val selected = if (budgetUnbounded) {
       allowed.select($"url", $"host", $"depth", $"seq")
     } else {
-      // J4 delay semantics: failed robots fetch → v1's conservative 3 s
-      // (`archive/crawler_node.py:75`); present rule → its crawl-delay;
-      // no robots row for the host → permissive default. `when` with no
-      // otherwise is null on false/null, so coalesce falls through.
+      // J4 delay semantics: the rule row's crawl_delay is the single
+      // source of truth — RobotsTxt.failed() stores v1's conservative
+      // 3 s there (`archive/crawler_node.py:75`), present rules carry
+      // their own Crawl-delay, and a host with no robots row falls
+      // through to the permissive default.
       val delay = if (robots.isEmpty) lit(conf.defaultDelay)
-        else coalesce(when($"robots_failed", lit(conf.failedRobotsDelay)),
-          $"crawl_delay", lit(conf.defaultDelay))
+        else coalesce($"crawl_delay", lit(conf.defaultDelay))
       val budget = greatest(lit(1L), floor(lit(conf.waveSeconds) / delay))
       val rankW = Window.partitionBy($"host").orderBy($"depth", $"seq")
       allowed
@@ -484,10 +483,13 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
       $"host".as("domain"), $"wave".as("crawl_wave"),
       // stored index-time stamp (`indexer_node.py:96` strftime) — the
       // deterministic crawl clock (epoch + 1 s per wave) rather than
-      // wall time, so resume-from-snapshot re-runs commit identical rows
-      date_format(
-        timestamp_seconds(lit(CrawlPipeline.CrawlEpoch) + $"wave".cast("long")),
-        "yyyy-MM-dd HH:mm:ss").as("crawl_date"))
+      // wall time, so resume-from-snapshot re-runs commit identical rows.
+      // Rendered with timezone-FREE civil arithmetic (DATE math + integer
+      // time-of-day), never date_format(timestamp), which formats in
+      // spark.sql.session.timeZone — a resume under a different session
+      // timezone would otherwise change the stored bytes. CrawlEpoch is
+      // a fixed constant, so no per-wave literal enters the plan.
+      CrawlPipeline.crawlDateCol($"wave").as("crawl_date"))
 
     // metrics + lineage Δ (A1 counters, per-partition attribution).
     // Both are aggregates of the same staged scan at different grains;
@@ -597,6 +599,27 @@ object CrawlPipeline {
     * re-runs byte-identical where the reference's `time.strftime`
     * (`indexer_node.py:96`) would not be. */
   val CrawlEpoch: Long = 1735689600L
+
+  /** `crawl_date` rendering: "yyyy-MM-dd HH:mm:ss" of the UTC instant
+    * CrawlEpoch + wave, built from timezone-free civil arithmetic (DATE
+    * day-offset math + integer time-of-day). `date_format(timestamp)`
+    * would render in spark.sql.session.timeZone, so the same snapshot
+    * resumed under a different session timezone would commit different
+    * bytes; this expression is a pure function of `wave` under ANY
+    * session configuration, and whole-stage-codegens like any other
+    * string concat. */
+  def crawlDateCol(wave: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val epochS = lit(CrawlEpoch) + wave.cast("long")
+    val days = floor(epochS / 86400L).cast("int")
+    val secs = (epochS - days.cast("long") * 86400L).cast("long")
+    val two = (c: org.apache.spark.sql.Column) => lpad(c.cast("string"), 2, "0")
+    concat(
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")), days).cast("string"), lit(" "),
+      two(floor(secs / 3600L).cast("long")), lit(":"),
+      two(floor(pmod(secs, lit(3600L)) / 60L).cast("long")), lit(":"),
+      two(pmod(secs, lit(60L))))
+  }
 
   /** Section timing to stderr when SPARK_GRAFT_TRACE=1 (perf debugging). */
   private[pipeline] val traceOn = sys.env.get("SPARK_GRAFT_TRACE").contains("1")

@@ -102,8 +102,14 @@ object TextQueries {
   /** One merge round applied to column `seq`, taking the pair from CTE
     * `mk` (a 1-row (pair, cnt) table). */
   private def bpeMergeStep(mk: String): String = {
-    val pat = s"' ' || replace((SELECT pair FROM $mk), ' ', '  ') || ' '"
-    val rep = s"' ' || replace((SELECT pair FROM $mk), ' ', '') || ' '"
+    // Degenerate-corpus guard: if the corpus admits fewer than n merges,
+    // m_k is empty and (SELECT pair FROM m_k) is NULL — replace(seq,
+    // NULL, NULL) would null every seq downstream. COALESCE to '_ _', a
+    // pair that can never occur (tokens are [a-z0-9]+ only), so an empty
+    // merge round is a no-op, matching Spark's early-stop.
+    val sel = s"COALESCE((SELECT pair FROM $mk), '_ _')"
+    val pat = s"' ' || replace($sel, ' ', '  ') || ' '"
+    val rep = s"' ' || replace($sel, ' ', '') || ' '"
     s"trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' ', $pat, $rep), '  ', ' '))"
   }
 

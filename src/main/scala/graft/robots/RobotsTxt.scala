@@ -174,9 +174,9 @@ object RobotsTxt {
   /** Robots fetch FAILED (vs merely absent): v1's conservative stance —
     * paths stay permissive but the host is throttled at the 3 s
     * conservative delay until robots can be re-fetched
-    * (`archive/crawler_node.py:68-75`). The flag travels on the rule
-    * row; the wave's budget expression maps it to
-    * `CrawlConfig.failedRobotsDelay`. */
+    * (`archive/crawler_node.py:68-75`). The delay is stored in the rule
+    * row's crawlDelay — the single source of truth the wave budget
+    * reads; `robotsFailed` remains as a diagnostic flag only. */
   def failed(host: String, conservativeDelay: Double = 3.0): RobotsRule =
     RobotsRule(host, Seq.empty, conservativeDelay, robotsFailed = true)
 }

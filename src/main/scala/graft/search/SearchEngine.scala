@@ -90,7 +90,12 @@ class SearchEngine(spark: SparkSession, docs: DataFrame,
   private[search] case class TPhrase(p: QPhrase) extends Tok
   private[search] case class TTerms(ts: Seq[QTerm]) extends Tok
 
-  private val QTokRe = """(?:(title|content):)?"([^"]*)"|\(|\)|[^\s()]+""".r
+  // Field prefix matches case-insensitively on the prefix ONLY (the
+  // query is no longer lowercased before lexing — OR/AND/NOT must stay
+  // uppercase-sensitive), so `Title:"a b"` is the same field phrase as
+  // `title:"a b"`; the captured field is lowercased before building
+  // QPhrase.
+  private val QTokRe = """(?:((?i:title|content)):)?"([^"]*)"|\(|\)|[^\s()]+""".r
 
   /** Lex the raw query. Operators are recognized UPPERCASE only (Whoosh:
     * lowercase `or` is an ordinary term). Returns the token stream plus
@@ -105,7 +110,8 @@ class SearchEngine(spark: SparkSession, docs: DataFrame,
       else if (m.group(2) != null) {
         val ts = m.group(2).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
           .map(PorterStemmer.stem).toSeq
-        if (ts.isEmpty) None else Some(TPhrase(QPhrase(Option(m.group(1)), ts)))
+        if (ts.isEmpty) None
+        else Some(TPhrase(QPhrase(Option(m.group(1)).map(_.toLowerCase), ts)))
       }
       else if (s == "OR") { sawOp = true; Some(TOr) }
       else if (s == "AND") { sawOp = true; Some(TAnd) }
@@ -221,7 +227,11 @@ class SearchEngine(spark: SparkSession, docs: DataFrame,
   private def evalV1(n: QNode): DataFrame = n match {
     case QTermNode(t) =>
       postings.filter($"token" === t.term).select($"url")
-    case QPhraseNode(p) => phraseUrls(p)
+    case QPhraseNode(p) =>
+      // v1's index is content-only: an unrestricted phrase must match in
+      // content — a title-only adjacency hit is invisible to v1. Without
+      // the pin, phraseUrls searches title AND content (v3 semantics).
+      phraseUrls(p.copy(field = p.field.orElse(Some("content"))))
     case QAnd(cs) =>
       val termLeaves = cs.collect { case QTermNode(t) => t.term }.distinct
       val rest = cs.filterNot(_.isInstanceOf[QTermNode])

@@ -19,7 +19,7 @@ object CrawlOracle {
   case class Result(frontier: Map[String, Entry], fetches: Map[String, Fetch], waves: Int)
 
   def run(web: SyntheticWeb.Web, waveSeconds: Double, defaultDelay: Double,
-          maxWaves: Int, failedRobotsDelay: Double = 3.0): Result = {
+          maxWaves: Int): Result = {
     val pagesByUrl = web.pages.map(p => p.url -> p).toMap
     val robotsByHost = web.robots.map(r => r.host -> r).toMap
 
@@ -52,9 +52,11 @@ object CrawlOracle {
 
         val selected = allowed.groupBy(_.host).toVector.flatMap { case (h, es) =>
           // v1 conservative stance: a failed robots FETCH throttles the
-          // host at 3 s (`archive/crawler_node.py:68-75`)
+          // host via the 3 s the rule row itself carries
+          // (`archive/crawler_node.py:68-75`) — same single source of
+          // truth as the pipeline's budget expression
           val delay = robotsByHost.get(h)
-            .map(r => if (r.robotsFailed) failedRobotsDelay else r.crawlDelay)
+            .map(_.crawlDelay)
             .getOrElse(defaultDelay)
           val budget = math.max(1L, math.floor(waveSeconds / delay).toLong)
           es.sortBy(e => (e.depth, e.seq)).take(budget.toInt)

@@ -136,6 +136,26 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(rows.groupBy(_._2).forall(_._2.map(_._1).distinct.size == 1))
   }
 
+  test("crawl_date rendering is session-timezone independent (UTC-pinned)") {
+    // the documented resume guarantee ("re-runs commit identical rows")
+    // must hold even when the resume runs under a different session
+    // timezone — the rendering is civil arithmetic, not date_format(ts)
+    val waves = Seq(0, 1, 86399, 86400, 123456)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val want = waves.map(w =>
+      fmt.format(java.time.Instant.ofEpochSecond(CrawlPipeline.CrawlEpoch + w)))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("UTC", "America/New_York", "Asia/Kolkata")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val got = waves.toDF("wave")
+          .select(CrawlPipeline.crawlDateCol($"wave")).as[String].collect().toSeq
+        assert(got == want, s"tz=$tz")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("resume-from-snapshot: killing after 2 waves and resuming is equivalent") {
     val rootA = Files.createTempDirectory("crawlA").toString
     val pA = newPipeline(rootA)

@@ -289,6 +289,29 @@ class CurationSpec extends AnyFunSuite {
     assert(got(13L)._2 && got(14L)._2 && math.abs(got(13L)._1 - 2.0 / 3) < 1e-12)
   }
 
+  test("calibrateQuality: dominant-stratum skew — exact window parity, no single-task sort") {
+    // one stratum holds ~90% of rows (the dump-skew shape that made the
+    // window form a single-task sort); the two-pass rank must agree with
+    // percent_rank() BIT-FOR-BIT, including cross-partition tie groups
+    // (scores are drawn from a small set so ties straddle range bounds)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 900).map(i => (i.toLong, "big", (rnd.nextInt(37) + 1).toLong)) ++
+      (901 to 960).map(i => (i.toLong, "sa", (rnd.nextInt(9) + 1).toLong)) ++
+      (961 to 1000).map(i => (i.toLong, "sb", (rnd.nextInt(5) + 1).toLong)) ++
+      Seq((1001L, "lone", 42L)) // n=1 stratum: percent_rank defines 0.0
+    val df = rows.toDF("doc_id", "source", "sc").repartition(7)
+    val got = Curation.calibrateQuality(df, "doc_id", "source", col("sc"), 0.1)
+      .select($"doc_id", $"source", $"raw_score", $"pctl", $"keep")
+      .as[(Long, String, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val want = df.select($"doc_id", $"source", $"sc".as("raw_score"))
+      .withColumn("pctl", org.apache.spark.sql.functions.percent_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source").orderBy($"raw_score")))
+      .withColumn("keep", $"pctl" >= 0.1)
+      .as[(Long, String, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.find(_._1 == 1001L).get._4 == 0.0)
+  }
+
   test("captionAlignment: proportional embedding -> 1.0, negated -> -1.0, empty -> 0.0") {
     import graft.ops.Multimodal
     // replicate the operator's md5 bucket/sign on the driver

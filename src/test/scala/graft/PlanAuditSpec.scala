@@ -265,14 +265,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans <= 2, s"q79 scans documents $scans times:\n${p.take(2000)}")
   }
 
-  test("q80: calibration windows hash-partition by source, never SinglePartition") {
-    // percent_rank per stratum: the window exchange must be
-    // hashpartitioning(source) — a SinglePartition exchange means the
-    // whole corpus sorts on one task at 100 TB
+  test("q80: calibration uses the range-partition two-pass rank, never a stratum window") {
+    // Window.partitionBy(source) hash-routes a whole stratum into ONE
+    // task's sort — dump-skewed corpora make that a single-task sort of
+    // ~everything. calibrateQuality's default is the range-partition
+    // prefix-sum rank, so the plan must contain NO Window node at all
+    // (the window form survives only as the DuckDB oracle), and no
+    // exchange may hash-partition on the raw stratum column.
     val p = plan("q80_quality_calibrate")
-    assert(p.contains("Window"), s"no window pass:\n${p.take(1500)}")
-    assert("hashpartitioning\\(source".r.findAllIn(p).nonEmpty,
-      s"calibration window not partitioned by source:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"q80 regressed to a stratum window sort:\n${p.take(2000)}")
+    assert("hashpartitioning\\(source[#,]".r.findAllIn(p).isEmpty,
+      s"q80 exchanges on the raw stratum key:\n${p.take(2000)}")
   }
 
   test("q81: budget selection runs the distributed prefix sum, not a global window") {

@@ -74,6 +74,18 @@ class SearchAndStreamSpec extends AnyFunSuite {
     // stemmed phrase: "joins fasts" stems to the same adjacent pair
     assert(se.searchAnd("\"joins fasts\"").as[String].collect().toSeq ==
       Seq("http://a.test/1"))
+    // v1 is content-only: "spark joins" is adjacent in a.test/1's TITLE
+    // and b.test/1's CONTENT — searchAnd (v1) must see only the content
+    // hit, while v3's field-unrestricted phrase sees both
+    assert(se.searchAnd("\"spark joins\"").as[String].collect().toSeq ==
+      Seq("http://b.test/1"))
+    assert(se.search("\"spark joins\"", k = 4)
+      .select($"url").as[String].collect().toSet ==
+      Set("http://a.test/1", "http://b.test/1"))
+    // the field prefix is case-insensitive even though operators are
+    // uppercase-only: Title:"..." is the same field phrase
+    assert(se.search("Title:\"slow scans\"", k = 4)
+      .select($"url").as[String].collect().toSeq == Seq("http://a.test/2"))
   }
 
   test("boolean operators: OR / NOT / parens (Whoosh parser parity)") {
