@@ -132,9 +132,13 @@ object Curation {
    * (thousands of rows at 100 TB), so the mix math is free.
    */
   def temperatureMix(df: DataFrame, stratum: String, nTokens: Column): DataFrame = {
+    // materialized: the per-source frame (sources-sized, tiny) feeds both
+    // the output and the totals — without the checkpoint each consumer
+    // re-runs the corpus-wide tokenize+sum scan
     val per = df.groupBy(col(stratum))
       .agg(sum(nTokens.cast("long")).as("n_tokens"))
       .withColumn("s_i", floor(sqrt(col("n_tokens").cast("double")) * 1000000d).cast("long"))
+      .localCheckpoint()
     val tot = per.agg(sum(col("n_tokens")).as("NN"), sum(col("s_i")).as("SS"))
     per.crossJoin(broadcast(tot))
       .select(col(stratum), col("n_tokens"),
@@ -355,10 +359,14 @@ object Curation {
    */
   def domainMixWeights(df: DataFrame, source: String, text: String,
                        alpha: Double = 0.7): DataFrame = {
+    // sources-sized, materialized once for both consumers (see
+    // temperatureMix — an unmaterialized `per` re-scans the corpus for
+    // the normalizer branch)
     val per = df
       .select(col(source), size(TextAnalysis.tokensCol(col(text))).as("nt"))
       .groupBy(col(source))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .localCheckpoint()
     val tot = per.agg(sum(pow(col("n_tokens").cast("double"), alpha)).as("z"))
     per.crossJoin(broadcast(tot))
       .select(col(source), col("n_docs"), col("n_tokens"),

@@ -241,13 +241,24 @@ object SimQueries {
 
   /** q47: REAL multimodal decode/resize/feature-extract over in-repo
     * codec binaries synthesized deterministically per document (half
-    * lossless, half lossy-DCT). No SQL oracle — DuckDB cannot run the
-    * codec — so the driver records the weaker rows-only check; the
-    * codec itself is oracle-tested in CodecSpec. */
-  def q47ImageFeatures(s: SparkSession, d: String): DataFrame = {
+    * lossless, half lossy-DCT). DuckDB cannot run the codec, so the
+    * oracle is the COMMITTED golden fixture `fixtures/image_truth.parquet`
+    * — generated once by [[graft.corpus.ImageTruthGen]] from this same
+    * computation over doc_id 0..49999 (a superset of every sf's id
+    * domain; the features are pure functions of doc_id) and pinned in
+    * git. Any codec or feature regression breaks the driver hash
+    * against the fixture; CodecSpec remains the algorithmic pin
+    * (PSNR/pHash vectors). */
+  def q47ImageFeatures(s: SparkSession, d: String): DataFrame =
+    imageFeaturesForIds(s, documents(s, d).select(col("doc_id")))
+
+  /** The q47 computation over an arbitrary doc_id frame — shared by the
+    * query and the golden-fixture generator so the pinned truth is the
+    * literal same code path. */
+  def imageFeaturesForIds(s: SparkSession, ids: DataFrame): DataFrame = {
     import s.implicits._
     import graft.codec.ImageCodec
-    val withBytes = documents(s, d).select(col("doc_id")).as[Long]
+    val withBytes = ids.select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val px = graft.corpus.SyntheticWeb.pixelsFor(42L, 700000L + id, 48, 32)
@@ -262,6 +273,14 @@ object SimQueries {
       .select(col("doc_id"), col("rw"), col("rh"), md5(col("resized")).as("resized_md5"))
     feats.join(resized, "doc_id").orderBy(col("doc_id"))
   }
+
+  /** q47 oracle: plain DuckDB join of the documents frame against the
+    * committed codec-truth fixture (see [[q47ImageFeatures]]). */
+  val q47Sql: String =
+    """SELECT t.doc_id, t.w, t.h, t.mean_lum, t.phash, t.rw, t.rh, t.resized_md5
+      |FROM read_parquet('/root/repo/fixtures/image_truth.parquet') t
+      |JOIN documents d ON d.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   /** q79: CLIP-score-style image-text alignment filter (LAION-style
     * multimodal curation): cosine between a deterministic feature-hash

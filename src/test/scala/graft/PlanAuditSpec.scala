@@ -475,4 +475,38 @@ class PlanAuditSpec extends AnyFunSuite {
     // URLs are synthesized from doc_id only; column pruning must drop `text`
     assert(!p.contains("text"), s"q103 scan reads unused text column:\n${p.take(2000)}")
   }
+
+  test("q105: temperature mix — one corpus pass, 1-row broadcast totals, no window") {
+    // per-source sums reduce map-side; the corpus-wide normalizers join
+    // back as a broadcast 1-row frame (the only sanctioned BNLJ shape) —
+    // never a window over the per-source frame or a second corpus scan
+    val p = plan("q105_temperature_mix")
+    assert(!p.contains("Window"), s"q105 normalizes via a window:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q105 totals are not broadcast:\n${p.take(2000)}")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"q105 scans documents $scans times:\n${p.take(2000)}")
+  }
+
+  test("q106: ordered robots predicate — broadcast rules join, pure codegen predicate") {
+    // the per-host rules table broadcasts (it is robots-cache-sized, not
+    // corpus-sized) and the ordered first-match predicate is column
+    // logic — a UDF here would put the hot allow/deny path outside
+    // whole-stage codegen for every crawled URL
+    val p = plan("q106_robots_ordered")
+    assert(p.contains("BroadcastHashJoin"), s"q106 rules join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"q106 predicate fell back to a UDF:\n${p.take(2000)}")
+  }
+
+  test("q107: funnel attribution — single corpus pass, map-side label aggregate") {
+    // one coalesce(when…) label projection + one groupBy(label) with a
+    // partial aggregate; the cumulative window runs on the stages-sized
+    // report frame only. A second documents scan means the label subtree
+    // was recomputed per consumer.
+    val p = plan("q107_curation_funnel")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"q107 scans documents $scans times:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), s"q107 label counts are not hash-aggregated:\n${p.take(2000)}")
+  }
 }
