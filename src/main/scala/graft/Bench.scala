@@ -401,6 +401,34 @@ object Bench {
     // string-shuffle regression shows up in the artifact
     "q95_dup_spans")
 
+  /** Per-query regression bars at sf0.1 (BASELINE.md "Regression
+    * bars"): a quiet-window violation means the NAMED plan regressed —
+    * q21 over 10 s = the signature-reuse materialization is gone (the
+    * round-1 8x-recompute); q95 over 8 s = the gram table recomputes
+    * per consumer or grams shuffle as strings; q73 over 4 s = the
+    * banded pair join or checkpoint-truncated CC iterations regressed.
+    * The suite bar is the top of the quiet-host band. Checked
+    * mechanically on every run; violations land in the artifact's
+    * `bar_violations` so a regression is visible without re-reading
+    * BASELINE.md. */
+  val regressionBars: Map[String, Double] = Map(
+    "q21_minhash_lsh" -> 10.0,
+    "q95_dup_spans" -> 8.0,
+    "q73_image_dup_clusters" -> 4.0)
+  val suiteBar: Double = 18.0
+
+  /** Bar check over (query, seconds) timings; returns human-readable
+    * violations ("name:secs>bar"), empty when all bars hold. Only
+    * meaningful at sf0.1 — callers gate on the sf dir. */
+  def barViolations(times: Seq[(String, Double)]): Seq[String] = {
+    val per = times.collect {
+      case (n, s) if regressionBars.get(n).exists(s > _) =>
+        f"$n:$s%.2f>${regressionBars(n)}%.1f"
+    }
+    val tot = times.map(_._2).sum
+    per ++ (if (tot > suiteBar) Seq(f"total:$tot%.2f>$suiteBar%.1f") else Nil)
+  }
+
   def main(args: Array[String]): Unit = {
     // subprocess leg mode: --crawl <cores> <pages> <preSeeded>
     if (args.length == 4 && args(0) == "--crawl") {
@@ -429,7 +457,9 @@ object Bench {
     // Iteration aid: time the query suite without the (long) crawl legs.
     if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
       val qj = queryTimes.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString(",")
-      println(s"""BENCH_QUERIES {$qj,"total":${f"${queryTimes.map(_._2).sum}%.3f"}}""")
+      val bv = (if (sfDir.endsWith("sf0.1")) barViolations(queryTimes) else Nil)
+        .map(v => "\"" + v + "\"").mkString("[", ",", "]")
+      println(s"""BENCH_QUERIES {$qj,"total":${f"${queryTimes.map(_._2).sum}%.3f"},"bar_violations":$bv}""")
       return
     }
 
@@ -598,7 +628,9 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
+    val barsJson = (if (sfDir.endsWith("sf0.1")) barViolations(queryTimes) else Nil)
+      .map(v => "\"" + v + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_pair_median":$pairMedian%.3f,"n_clean_pairs":$nCleanPairs,"secs_n_best":$sNBest%.1f,"secs_4n_best":$s4NBest%.1f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"init_secs_n":$init1%.1f,"init_secs_4n":$init4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"host_bw_min":$minBw%.3f,"host_bw_max":$maxBw%.3f,"warmup_best_n":${warmBest(nCores)}%.2f,"warmup_best_4n":${warmBest(n4Cores)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bar_violations":$barsJson,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_pair_median":$pairMedian%.3f,"n_clean_pairs":$nCleanPairs,"secs_n_best":$sNBest%.1f,"secs_4n_best":$s4NBest%.1f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"init_secs_n":$init1%.1f,"init_secs_4n":$init4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"host_bw_min":$minBw%.3f,"host_bw_max":$maxBw%.3f,"warmup_best_n":${warmBest(nCores)}%.2f,"warmup_best_4n":${warmBest(n4Cores)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
   }
 }

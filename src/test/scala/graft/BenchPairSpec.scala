@@ -14,6 +14,22 @@ class BenchPairSpec extends AnyFunSuite {
     } finally java.nio.file.Files.deleteIfExists(p)
   }
 
+  test("regression bars: per-query and suite violations are reported, clean run is empty") {
+    // bars pinned in BASELINE.md "Regression bars"; the artifact carries
+    // violations mechanically so a plan regression in a heavy query is
+    // visible without re-reading the prose
+    val clean = Seq("q21_minhash_lsh" -> 1.8, "q95_dup_spans" -> 4.4,
+      "q73_image_dup_clusters" -> 2.0, "q01_agg" -> 0.4)
+    assert(Bench.barViolations(clean).isEmpty)
+    val bad = Seq("q21_minhash_lsh" -> 11.2, "q95_dup_spans" -> 4.4,
+      "q73_image_dup_clusters" -> 2.0, "q01_agg" -> 1.0)
+    val v = Bench.barViolations(bad)
+    assert(v.exists(_.startsWith("q21_minhash_lsh:11.20>10.0")), v.toString)
+    assert(v.exists(_.startsWith("total:18.60>18.0")), v.toString)
+    // a query with no bar never violates
+    assert(!v.exists(_.startsWith("q01")))
+  }
+
   test("median over clean pairs; dirty warmups and other page counts excluded") {
     val lines = Seq(
       "100000\t80.000\t21.0\t25.000\t11.0",  // clean: eff 0.80
