@@ -271,12 +271,7 @@ class CrawlPipeline(spark: SparkSession, store: IceLite,
     val salted = if (budgetUnbounded) {
       selected.repartition(conf.nPartitions, $"seq")
     } else {
-      val hostCounts = selected.groupBy($"host").agg(count(lit(1)).as("__hc"))
-      selected
-        .join(broadcast(hostCounts), Seq("host"))
-        .withColumn("salt", greatest(lit(1L), floor($"__hc" / lit(conf.hostSaltTarget))))
-        .repartition(conf.nPartitions, $"host", pmod($"seq", $"salt"))
-        .select($"url", $"host", $"depth", $"seq")
+      CrawlPipeline.saltedFetchPartitions(selected, conf.nPartitions, conf.hostSaltTarget)
     }
 
     // fetch stage (S3): per-partition fetcher, payload decode + invariant
@@ -619,6 +614,29 @@ object CrawlPipeline {
       two(floor(secs / 3600L).cast("long")), lit(":"),
       two(floor(pmod(secs, lit(3600L)) / 60L).cast("long")), lit(":"),
       two(pmod(secs, lit(60L))))
+  }
+
+  /** The politeness-bounded fetch stage's salted partitioning (moved out
+    * of runWave so the skew bound is spec-testable — the SURVEY §4
+    * "domain-aware crawling" recommendation made measurable,
+    * `performance_optimizer.py:585-589`): per-host counts from THIS
+    * selection via a map-side-partial agg + broadcast join back, salt =
+    * floor(count/target) buckets per host, repartition on the RAW
+    * (host, seq % salt) pair — pre-modding the pair to nPartitions
+    * values and hashing those birthday-collides into ~2/3 of the
+    * partitions with 3× skew (BASELINE.md "Scale notes"). A host
+    * holding half the selection spreads over count/target buckets, so
+    * per-partition row counts stay near-uniform; CrawlParitySpec pins
+    * the ≤2× bound on a 50%-one-host selection. */
+  def saltedFetchPartitions(selected: DataFrame, nPartitions: Int,
+                            hostSaltTarget: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hostCounts = selected.groupBy(col("host")).agg(count(lit(1)).as("__hc"))
+    selected
+      .join(broadcast(hostCounts), Seq("host"))
+      .withColumn("salt", greatest(lit(1L), floor(col("__hc") / lit(hostSaltTarget))))
+      .repartition(nPartitions, col("host"), pmod(col("seq"), col("salt")))
+      .select(col("url"), col("host"), col("depth"), col("seq"))
   }
 
   /** Section timing to stderr when SPARK_GRAFT_TRACE=1 (perf debugging). */

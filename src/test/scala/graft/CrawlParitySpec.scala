@@ -136,6 +136,36 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(rows.groupBy(_._2).forall(_._2.map(_._1).distinct.size == 1))
   }
 
+  test("hot-host salting: a 50%-one-host selection stays within 2x of uniform per partition") {
+    // the hot-host shape the salt exists for: one host holds half the
+    // selected URLs. Unsalted (host-keyed) partitioning would put 50% of
+    // rows in one fetch task; the (host, seq%salt) key must hold every
+    // partition's row count within ~2x of uniform AND spread the hot
+    // host itself over most partitions.
+    val n = 8000
+    val rows = (1 to n).map { i =>
+      val host = if (i % 2 == 0) "hot.test" else s"h${i % 64}.test"
+      (s"http://$host/p/$i", host, 1, i.toLong)
+    }
+    val sel = rows.toDF("url", "host", "depth", "seq").repartition(5)
+    val nParts = 16
+    val salted = CrawlPipeline.saltedFetchPartitions(sel, nParts, hostSaltTarget = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      val perPart = salted.rdd
+        .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size))).collect().toMap
+      val counts = (0 until nParts).map(perPart.getOrElse(_, 0))
+      assert(counts.sum == n)
+      assert(counts.max <= 2.0 * n / nParts, s"fetch skew: $counts")
+      // the hot host's rows themselves span most partitions (filter is
+      // narrow, so partition ids survive it)
+      val hotSpread = salted.filter($"host" === "hot.test").rdd
+        .mapPartitionsWithIndex((pid, it) => Iterator(pid -> it.size)).collect()
+        .count(_._2 > 0)
+      assert(hotSpread >= nParts / 2, s"hot host confined to $hotSpread partitions")
+    } finally salted.unpersist(blocking = false)
+  }
+
   test("crawl_date rendering is session-timezone independent (UTC-pinned)") {
     // the documented resume guarantee ("re-runs commit identical rows")
     // must hold even when the resume runs under a different session
