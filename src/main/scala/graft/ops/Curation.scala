@@ -264,6 +264,37 @@ object Curation {
       .select(col(id), col("quality"), col("n_tokens"), col("cum_tokens"), col("selected"))
 
   /**
+   * Balanced shard assignment — the "write the corpus as S training
+   * shards of near-equal token mass" step every epoch-sharded trainer
+   * needs (WebDataset/TFRecord sharding, public practice). Documents
+   * are ranked (cost DESC, id ASC) and dealt boustrophedon ("snake"):
+   * rank r → slot r mod 2S, shard = min(slot, 2S−1−slot), so each
+   * full cycle gives every shard exactly two documents — one from the
+   * heavy half of the cycle and one from the light half. On a
+   * descending-cost order this is the classic LPT-flavored dealing:
+   * per-shard totals stay within one cycle's cost spread of each
+   * other (measured bound pinned by CurationSpec).
+   *
+   * Scale: the global rank is the [[packSequences]] two-pass
+   * range-shuffle prefix sum (`n_tokens = 1` turns the running total
+   * into a 0-based rank) — ONE range shuffle, never a
+   * single-partition window; the snake math is pure integer column
+   * arithmetic. Deterministic: rank is a pure function of the (cost,
+   * id) order, ties broken by id.
+   */
+  def shardAssign(df: DataFrame, id: String, cost: Column,
+                  nShards: Int): DataFrame = {
+    val cycle = 2L * nShards
+    runningOffset(
+        df.select(col(id), cost.cast("long").as("cost"), lit(1L).as("n_tokens")),
+        Seq(col("cost").desc, col(id)))
+      .withColumn("slot", pmod(col("start_tok"), lit(cycle)))
+      .withColumn("shard",
+        least(col("slot"), lit(cycle - 1) - col("slot")).cast("int"))
+      .select(col(id), col("cost"), col("shard"))
+  }
+
+  /**
    * Per-stratum quality calibration (FineWeb/CCNet-style per-dump
    * thresholding, public practice): raw quality signals are not
    * comparable across sources — a news dump and a forum dump have

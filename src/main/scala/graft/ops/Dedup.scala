@@ -491,4 +491,45 @@ object Dedup {
       .select(col("host_a"), col("host_b"), col("shared"), col("n_a"),
         col("n_b"), col("jaccard_ppm"))
   }
+
+  /**
+   * Quality-aware canonical retention per duplicate cluster — the
+   * policy step AFTER clustering: [[connectedComponents]] labels tell
+   * you WHICH documents are copies; this decides WHICH COPY SURVIVES
+   * (the min-id keeper of q49/q73 is arbitrary — dedup practice keeps
+   * the best version, e.g. the longest/highest-quality one) and gives
+   * every member a soft-dedup sampling weight of 1/cluster_size ppm
+   * (down-weight instead of drop — the soft alternative public corpus
+   * work uses when near-dups carry signal).
+   *
+   * Canonical = argmax (quality, then smaller id) within the cluster,
+   * computed as `min(struct(−quality, id))` — a map-side-combinable
+   * aggregate, NOT a window, so a pathological mega-cluster (the
+   * empty-page cluster of a real crawl) partial-aggregates across its
+   * partitions instead of sorting in one task. weight_ppm uses
+   * truncating integer division (Spark `div` = DuckDB `//`).
+   *
+   * Scale: one label-keyed shuffle for the cluster stats + one
+   * broadcast-or-shuffle join back; quality is any integer column the
+   * caller derives (token count here — [[graft.ops.TextAnalysis]]
+   * scores plug in unchanged).
+   */
+  def retainCanonical(clusters: DataFrame, nodeCol: String, labelCol: String,
+                      quality: DataFrame, qIdCol: String,
+                      qualityCol: Column): DataFrame = {
+    val q = quality.select(col(qIdCol).as("node"),
+      qualityCol.cast("long").as("quality"))
+    val members = clusters
+      .select(col(nodeCol).as("node"), col(labelCol).as("cluster_id"))
+      .join(q, "node")
+    val stats = members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-col("quality")).as("nq"), col("node").as("best"))).as("b"))
+      .select(col("cluster_id"), col("cluster_size"), col("b.best").as("best"))
+    members.join(stats, "cluster_id")
+      .select(col("node"), col("cluster_id"), col("quality"),
+        col("cluster_size"),
+        (col("node") === col("best")).as("is_canonical"),
+        expr("1000000 div cluster_size").cast("int").as("weight_ppm"))
+  }
 }

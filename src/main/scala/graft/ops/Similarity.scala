@@ -302,4 +302,78 @@ object Similarity {
       .filter(col("sim") >= minSim)
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
+
+  /**
+   * Lloyd's k-means over the 2^20 fixed-point grid — the trained
+   * refinement of [[ivfTopK]]'s data-sampled coarse quantizer (FAISS
+   * trains its IVF centroids the same way; reference analogue: the
+   * index build step, `indexer/indexer_node.py:91-98`, is where the
+   * reference's only "model fit" lives).
+   *
+   * Determinism (both engines, any partition order): vectors and
+   * centroids are integer-scaled, so squared L2 distances are exact
+   * integers; assignment ties break to the smaller cid via
+   * `array_min` over `(dist2, cid)` structs; re-centering sums are
+   * integer and the per-dimension mean uses TRUNCATING division
+   * (Scala `Long./`, = DuckDB `//`, = Spark `div`), so new centroids
+   * land back on the integer grid bit-identically. Init = the k
+   * smallest-id vectors. A cell that loses every member keeps its
+   * previous centroid (mirrored in the oracle with COALESCE).
+   *
+   * Scale: each round is ONE corpus scan (assignment against k
+   * LITERAL centroid arrays — k·dim longs, collected to the driver
+   * like bpeMerges' vocab-sized per-round top-1) and ONE
+   * k-row-wide groupBy whose 64 elementwise sums partial-aggregate
+   * map-side; no window, no N×N join, rounds ≪ 10. The distance
+   * kernel is the codegen [[graft.functions.LongDot]] expansion
+   * dist2 = n2x − 2·dot + n2c, so assignment stays inside
+   * whole-stage codegen.
+   */
+  def kmeansCentroids(df: DataFrame, id: String, emb: String, k: Int,
+                      rounds: Int): Array[Array[Long]] = {
+    val base = withScaled(df, emb).select(col(id), col("scaled"), col("norm2"))
+    val dim = base.select(size(col("scaled"))).head().getInt(0)
+    var cents: Array[Array[Long]] = base.orderBy(col(id)).select(col("scaled"))
+      .head(k)
+      .map(_.getSeq[Long](0).toArray)
+    for (_ <- 1 to rounds) {
+      // assignment + recenter in ONE corpus scan: the argmin struct is a
+      // projection, the 64 sums partial-aggregate map-side into k rows
+      val sums = base
+        .select(col("scaled"), minCellStruct(cents).getField("cid").as("cell"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"),
+          (0 until dim).map(i => sum(col("scaled").getItem(i)).as(s"s$i")): _*)
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), (0 until dim).map(i => r.getLong(2 + i)).toArray))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        sums.get(c).map { case (cnt, sv) => sv.map(_ / cnt) }.getOrElse(old)
+      }
+    }
+    cents
+  }
+
+  /** Exact-integer argmin over literal centroids: a struct column
+    * (dist2, cid) — `array_min` is the engine-neutral tie-break
+    * (smaller cid wins at equal distance). */
+  private def minCellStruct(cents: Array[Array[Long]]): Column = {
+    val alts = cents.zipWithIndex.map { case (c, cid) =>
+      val cLit = typedLit(c.toSeq)
+      val cn2 = c.map(x => x * x).sum
+      val d2 = col("norm2") - lit(2L) * dotCol(col("scaled"), cLit) + lit(cn2)
+      struct(d2.as("dist2"), lit(cid).as("cid"))
+    }
+    array_min(array(alts.toIndexedSeq: _*))
+  }
+
+  /** Final k-means cell assignment after `rounds` Lloyd iterations:
+    * (id, cell:int, dist2:bigint) for every vector. */
+  def kmeansAssign(df: DataFrame, id: String, emb: String, k: Int,
+                   rounds: Int): DataFrame = {
+    val cents = kmeansCentroids(df, id, emb, k, rounds)
+    withScaled(df, emb).select(col(id), col("scaled"), col("norm2"))
+      .select(col(id), minCellStruct(cents).as("m"))
+      .select(col(id), col("m.cid").as("cell"), col("m.dist2").as("dist2"))
+  }
 }

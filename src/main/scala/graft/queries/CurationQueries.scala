@@ -443,4 +443,31 @@ object CurationQueries {
       |SELECT host, count(*) AS freq FROM k
       |GROUP BY host HAVING count(*) > (SELECT t FROM thr)
       |ORDER BY host""".stripMargin
+
+  /** q109 (T67): balanced training-shard assignment — rank (token
+    * count DESC, id) dealt boustrophedon over 8 shards. The oracle's
+    * `row_number` window IS the semantics; the Spark default computes
+    * the same rank via the two-pass range-shuffle prefix sum (no
+    * single-partition window — PlanAudit holds the plan to that). */
+  def q109ShardAssign(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(graft.ops.TextAnalysis.tokensCol(col("text")))
+    Curation.shardAssign(
+        documents(s, d).select(col("doc_id"), nTok.as("n_tok")),
+        "doc_id", col("n_tok"), nShards = 8)
+      .select(col("doc_id"), col("cost").as("n_tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q109Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |r AS (
+      | SELECT doc_id, n_tokens,
+      |  row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+      | FROM t)
+      |SELECT doc_id, n_tokens,
+      | CAST(least(rk % 16, 15 - (rk % 16)) AS INT) AS shard
+      |FROM r ORDER BY doc_id""".stripMargin
 }

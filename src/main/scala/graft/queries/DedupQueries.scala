@@ -505,4 +505,58 @@ object DedupQueries {
         |LEFT JOIN verified ON verified.batch_id = d.doc_id
         |WHERE d.doc_id % 11 = 3
         |ORDER BY d.doc_id""".stripMargin
+
+  /** q110 (T68): quality-aware canonical retention over the q49
+    * duplicate clusters — keep the LONGEST member (token count, ties →
+    * smaller id) instead of q49's arbitrary min-id keeper, and weight
+    * every member 1/cluster_size ppm for soft dedup. Same recursive-CTE
+    * reachability oracle as q49 + an argmax window. */
+  def q110CanonicalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val edges = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, minJaccard = 0.5)
+    val cc = Dedup.connectedComponents(docs, "doc_id", edges, "doc_a", "doc_b")
+    val quality = docs.select(col("doc_id"),
+      size(graft.ops.TextAnalysis.tokensCol(col("text"))).as("n_tok"))
+    Dedup.retainCanonical(cc, "node", "label", quality, "doc_id", col("n_tok"))
+      .select(col("node").as("doc_id"), col("cluster_id"), col("quality"),
+        col("cluster_size"), col("is_canonical"), col("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q110Sql: String =
+    """WITH RECURSIVE toks AS (
+      | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
+      | FROM documents),
+      |sh AS (
+      | SELECT DISTINCT doc_id,
+      |  unnest(list_transform(range(greatest(len(tk) - 1, 0)), i -> tk[i+1] || ' ' || tk[i+2])) AS shingle
+      | FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
+      |edges AS (
+      | SELECT doc_a, doc_b FROM inter
+      | JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      | WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5),
+      |sym AS (SELECT doc_a AS s, doc_b AS t FROM edges UNION ALL SELECT doc_b, doc_a FROM edges),
+      |reach(node, lab) AS (
+      | SELECT doc_id, doc_id FROM documents
+      | UNION
+      | SELECT e.t, r.lab FROM reach r JOIN sym e ON e.s = r.node),
+      |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+      |m AS (
+      | SELECT comp.doc_id, comp.cluster_id, CAST(len(tk) AS BIGINT) AS quality
+      | FROM comp JOIN toks USING (doc_id)),
+      |best AS (
+      | SELECT cluster_id, doc_id AS best FROM (
+      |  SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+      |  FROM m) WHERE rn = 1),
+      |st AS (SELECT cluster_id, count(*) AS cluster_size FROM m GROUP BY cluster_id)
+      |SELECT m.doc_id, m.cluster_id, m.quality, st.cluster_size,
+      | m.doc_id = best.best AS is_canonical,
+      | CAST(1000000 // st.cluster_size AS INT) AS weight_ppm
+      |FROM m JOIN st USING (cluster_id) JOIN best USING (cluster_id)
+      |ORDER BY m.doc_id""".stripMargin
 }

@@ -405,4 +405,47 @@ object SimQueries {
        |SELECT query_id, rank, image_id, sim FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** q108: k-means IVF training (T66) — 2 Lloyd iterations over the
+    * integer grid (k=8, init = the 8 smallest vec_ids), then the final
+    * cell assignment with its exact squared distance. The oracle
+    * unrolls both rounds; truncating division (`//`) and the
+    * (dist2, cid) tie-break mirror the Scala exactly. */
+  def q108KmeansIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansAssign(embeddings(s, d), "vec_id", "embedding",
+        k = 8, rounds = 2)
+      .orderBy(col("vec_id"))
+
+  val q108Sql: String = {
+    // one Lloyd round in SQL: assign against c{r-1}, recenter into c{r}
+    def assign(r: Int, cents: String) =
+      s"""d$r AS (
+         | SELECT sc.vec_id, $cents.cid,
+         |  CAST(list_sum(list_transform(range(64), i -> (s[i+1]-cs[i+1])*(s[i+1]-cs[i+1]))) AS BIGINT) AS d2
+         | FROM sc, $cents),
+         |a$r AS MATERIALIZED (
+         | SELECT vec_id, cid AS cell, d2 FROM (
+         |  SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$r)
+         | WHERE rn = 1)""".stripMargin
+    def recenter(r: Int, prev: String) =
+      s"""e$r AS (
+         | SELECT a$r.cell, t.i, CAST(sum(s[t.i+1]) AS BIGINT) AS sv, count(*) AS cnt
+         | FROM a$r JOIN sc USING (vec_id), range(64) t(i) GROUP BY a$r.cell, t.i),
+         |c$r AS MATERIALIZED (
+         | SELECT $prev.cid, COALESCE(n.cs2, $prev.cs) AS cs FROM $prev
+         | LEFT JOIN (SELECT cell AS cid, list(sv // cnt ORDER BY i) AS cs2 FROM e$r GROUP BY cell) n USING (cid))""".stripMargin
+    s"""WITH sc AS MATERIALIZED (
+       | SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       | FROM embeddings),
+       |c0 AS MATERIALIZED (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, s AS cs
+       | FROM (SELECT vec_id, s FROM sc ORDER BY vec_id LIMIT 8)),
+       |${assign(1, "c0")},
+       |${recenter(1, "c0")},
+       |${assign(2, "c1")},
+       |${recenter(2, "c1")},
+       |${assign(3, "c2")}
+       |SELECT vec_id, CAST(cell AS INT) AS cell, d2 AS dist2
+       |FROM a3 ORDER BY vec_id""".stripMargin
+  }
 }

@@ -679,4 +679,51 @@ class CurationSpec extends AnyFunSuite {
     // nothing else reaches the 0.5 cut
     assert(verified.count { case (_, _, _, ppm) => ppm >= 500000L } == 1)
   }
+
+  test("T67: shardAssign matches the rank reference, balances, reshard-invariant") {
+    val nShards = 8
+    val rows = (1L to 1000L).map(id => (id, (id * 37) % 101 + 1))
+    val df = rows.toDF("id", "cost")
+    val got = Curation.shardAssign(df, "id", col("cost"), nShards)
+      .as[(Long, Long, Int)].collect().toSet
+
+    // reference: global (cost DESC, id) rank dealt boustrophedon
+    val want = rows.sortBy { case (id, c) => (-c, id) }.zipWithIndex.map {
+      case ((id, c), rk) =>
+        val slot = rk % (2 * nShards)
+        (id, c, math.min(slot, 2 * nShards - 1 - slot))
+    }.toSet
+    assert(got == want)
+
+    // balance: every shard used; totals within one max item of each other
+    val totals = got.groupBy(_._3).map { case (s, g) => s -> g.toSeq.map(_._2).sum }
+    assert(totals.size == nShards)
+    val spread = totals.values.max - totals.values.min
+    assert(spread <= rows.map(_._2).max,
+      s"shard totals spread $spread exceeds the max item: $totals")
+
+    // rank is partitioning-independent (the two-pass prefix-sum claim)
+    val re = Curation.shardAssign(df.repartition(13), "id", col("cost"), nShards)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(re == got)
+  }
+
+  test("T68: retainCanonical keeps the best-quality member, ties to smaller id") {
+    // clusters {1,2,3} label 1, {5,6} label 5, singleton {4}
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("node", "label")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L), (5L, 3L), (6L, 3L))
+      .toDF("doc_id", "q")
+    val got = Dedup.retainCanonical(clusters, "node", "label", quality, "doc_id", col("q"))
+      .select($"node", $"cluster_id", $"cluster_size", $"is_canonical", $"weight_ppm")
+      .as[(Long, Long, Long, Boolean, Int)].collect().toSet
+    val want = Set(
+      (1L, 1L, 3L, false, 333333), // 2 and 3 tie at quality 9 -> 2 wins
+      (2L, 1L, 3L, true, 333333),
+      (3L, 1L, 3L, false, 333333),
+      (4L, 4L, 1L, true, 1000000),
+      (5L, 5L, 2L, true, 500000),  // tie at 3 -> smaller id
+      (6L, 5L, 2L, false, 500000))
+    assert(got == want)
+  }
 }

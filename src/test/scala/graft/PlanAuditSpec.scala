@@ -509,4 +509,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans <= 1, s"q107 scans documents $scans times:\n${p.take(2000)}")
     assert(p.contains("HashAggregate"), s"q107 label counts are not hash-aggregated:\n${p.take(2000)}")
   }
+
+  test("q108: k-means final assignment — one scan against literal centroids, no join") {
+    // the trained centroids are LITERAL arrays (collected k·dim longs),
+    // so the final assignment must be a pure projection over one
+    // embeddings scan: a Join or Window here means centroids leaked back
+    // in as a dataframe and the argmin is shuffling the corpus
+    val p = plan("q108_kmeans_ivf")
+    val scans = "embeddings\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"q108 scans embeddings $scans times:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"q108 assignment joins instead of projecting:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"q108 uses a window:\n${p.take(2000)}")
+  }
+
+  test("q109: shard assignment — no window anywhere (two-pass prefix-sum rank)") {
+    // the global rank must come from the range-shuffle prefix sum; a
+    // Window in this plan means the empty-partition-key global sort is
+    // back (single-task rank over the whole corpus — the q80-class
+    // scale-killer)
+    val p = plan("q109_shard_assign")
+    assert(!p.contains("Window"), s"q109 ranks via a window:\n${p.take(2000)}")
+  }
+
+  test("q110: canonical retention — keyed joins only, no cartesian") {
+    // cluster stats join back on cluster_id and quality joins on the id;
+    // a cartesian/BNLJ means the argmax escaped its aggregate
+    val p = plan("q110_canonical_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q110 has an unkeyed join:\n${p.take(2000)}")
+  }
 }

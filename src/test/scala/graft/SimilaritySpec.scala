@@ -59,4 +59,52 @@ class SimilaritySpec extends AnyFunSuite {
         assert(bucketed(q)._1 == nn, s"vec $q: bucketed ${bucketed(q)._1} != global $nn")
     }
   }
+
+  test("kmeansAssign matches a driver-side Lloyd reference and is reshard-invariant") {
+    val (k, rounds) = (8, 2)
+    val data: Array[(Long, Array[Long])] = Similarity.withScaled(emb, "embedding")
+      .select($"vec_id".cast("long"), $"scaled")
+      .as[(Long, Seq[Long])].collect().map { case (id, s) => (id, s.toArray) }
+      .sortBy(_._1)
+
+    // independent driver-side Lloyd on the same integer grid
+    def d2(x: Array[Long], c: Array[Long]): Long =
+      x.indices.map(i => (x(i) - c(i)) * (x(i) - c(i))).sum
+    def argmin(x: Array[Long], cents: Array[Array[Long]]): (Int, Long) =
+      cents.zipWithIndex.map { case (c, cid) => (d2(x, c), cid) }.min match {
+        case (d, cid) => (cid, d)
+      }
+    var cents = data.take(k).map(_._2)
+    for (_ <- 1 to rounds) {
+      val byCell = data.groupBy { case (_, x) => argmin(x, cents)._1 }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        byCell.get(c).map { members =>
+          val dim = old.length
+          (0 until dim).map { i =>
+            members.map(_._2(i)).sum / members.length // truncating, like the op
+          }.toArray
+        }.getOrElse(old)
+      }
+    }
+    val want = data.map { case (id, x) =>
+      val (cid, d) = argmin(x, cents); (id, cid, d)
+    }.toSet
+
+    val got = Similarity.kmeansAssign(emb, "vec_id", "embedding", k, rounds)
+      .select($"vec_id".cast("long"), $"cell", $"dist2")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == want, s"kmeans mismatch: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    // the clustering must actually bind: >1 cell in use, and some vector
+    // moved cells between init and trained centroids
+    assert(got.map(_._2).size > 1)
+    val init = data.map { case (id, x) => (id, argmin(x, data.take(k).map(_._2))._1) }.toMap
+    assert(got.exists { case (id, cell, _) => init(id) != cell },
+      "no vector changed cells after training — rounds are a no-op on this fixture")
+
+    // partition-order invariance (the integer-grid determinism claim)
+    val re = Similarity.kmeansAssign(emb.repartition(7), "vec_id", "embedding", k, rounds)
+      .select($"vec_id".cast("long"), $"cell", $"dist2")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(re == got)
+  }
 }
