@@ -217,7 +217,7 @@ object Curation {
     * BFS seq assignment. The eager localCheckpoint (not persist) feeds
     * both rdd passes and is reclaimed by the ContextCleaner once callers
     * drop the result. */
-  private def runningOffset(df: DataFrame, sortExprs: Seq[Column]): DataFrame = {
+  private[ops] def runningOffset(df: DataFrame, sortExprs: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
     val base = df

@@ -226,4 +226,54 @@ object Multimodal {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("image_id"), col("sim"))
   }
+
+  /**
+   * Aspect-ratio bucket batching (SDXL/NovelAI-style bucketing, public
+   * practice): variable-aspect images cannot share a training batch —
+   * each image snaps to the NEAREST of a fixed aspect-bucket list and
+   * fixed-size batches are cut within each bucket in id order, so a
+   * batch always holds same-aspect images and the leftover per bucket
+   * is at most batchSize−1 rows.
+   *
+   * Exact nearest bucket on integers: |w/h − bwᵢ/bhᵢ| ∝
+   * |w·bhᵢ − bwᵢ·h| / bhᵢ; multiplying through by L = lcm(bhᵢ) gives
+   * the all-integer key |w·bhᵢ − bwᵢ·h| · (L/bhᵢ) — engine-exact
+   * argmin via the same `array_min (key, idx)` struct tie-break the
+   * k-means assignment uses (ties → smaller bucket index).
+   *
+   * Scale: bucket choice is a pure projection (buckets are literals);
+   * the within-bucket position comes from ONE global
+   * (bucket, id)-ordered rank — the [[Curation.runningOffset]]
+   * two-pass range-shuffle prefix sum, so the dominant bucket (most
+   * web images are landscape-ish) spreads over many range partitions
+   * instead of hash-routing into one window task — minus the bucket's
+   * start offset, a buckets-sized broadcast frame. batch = pos div
+   * batchSize, slot = pos mod batchSize; all integer, deterministic.
+   */
+  def aspectBucketBatches(df: DataFrame, id: String, wCol: Column,
+                          hCol: Column, buckets: Seq[(Int, Int)],
+                          batchSize: Int): DataFrame = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = buckets.map(_._2.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val alts = buckets.zipWithIndex.map { case ((bw, bh), i) =>
+      val key = abs(col("w") * bh - lit(bw.toLong) * col("h")) * lit(L / bh)
+      struct(key.as("dist"), lit(i).as("idx"))
+    }
+    val chosen = df
+      .select(col(id), wCol.cast("long").as("w"), hCol.cast("long").as("h"))
+      .withColumn("bucket", array_min(array(alts.toIndexedSeq: _*)).getField("idx"))
+    val ranked = Curation.runningOffset(
+      chosen.withColumn("n_tokens", lit(1L)), Seq(col("bucket"), col(id)))
+    val starts = ranked.groupBy(col("bucket"))
+      .agg(min(col("start_tok")).as("bstart"))
+    val bwLit = typedLit(buckets.map(_._1))
+    val bhLit = typedLit(buckets.map(_._2))
+    ranked.join(broadcast(starts), "bucket")
+      .withColumn("pos", col("start_tok") - col("bstart"))
+      .select(col(id), col("w"), col("h"), col("bucket"),
+        element_at(bwLit, col("bucket") + 1).as("bucket_w"),
+        element_at(bhLit, col("bucket") + 1).as("bucket_h"),
+        expr(s"pos div $batchSize").as("batch_id"),
+        pmod(col("pos"), lit(batchSize.toLong)).cast("int").as("slot"))
+  }
 }

@@ -448,4 +448,47 @@ object SimQueries {
        |SELECT vec_id, CAST(cell AS INT) AS cell, d2 AS dist2
        |FROM a3 ORDER BY vec_id""".stripMargin
   }
+
+  /** q111 (T69): aspect-ratio bucket batching. The corpus carries no
+    * image dims, so each doc gets deterministic planted dims
+    * (w = 128 + 7·id mod 512, h = 128 + 13·id mod 512 — aspect ratios
+    * spread ~0.2–5, every bucket populated), snapped to the 7-bucket
+    * SDXL-style list and cut into batches of 16. The oracle's
+    * row_number windows ARE the semantics; the Spark default ranks via
+    * the two-pass prefix sum (PlanAudit: no corpus-wide window). */
+  def q111AspectBuckets(s: SparkSession, d: String): DataFrame = {
+    val dims = documents(s, d).select(col("doc_id"),
+      (lit(128L) + pmod(col("doc_id") * 7, lit(512L))).as("w"),
+      (lit(128L) + pmod(col("doc_id") * 13, lit(512L))).as("h"))
+    Multimodal.aspectBucketBatches(dims, "doc_id", col("w"), col("h"),
+        buckets = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (3, 2), (2, 3)),
+        batchSize = 16)
+      .orderBy(col("doc_id"))
+  }
+
+  val q111Sql: String =
+    """WITH dims AS (
+      | SELECT doc_id,
+      |  CAST(128 + (doc_id * 7) % 512 AS BIGINT) AS w,
+      |  CAST(128 + (doc_id * 13) % 512 AS BIGINT) AS h
+      | FROM documents),
+      |bk(idx, bw, bh, mul) AS (
+      | VALUES (0, 1, 1, 144), (1, 4, 3, 48), (2, 3, 4, 36), (3, 16, 9, 16),
+      |        (4, 9, 16, 9), (5, 3, 2, 72), (6, 2, 3, 48)),
+      |scored AS (
+      | SELECT d.doc_id, d.w, d.h, bk.idx, bk.bw, bk.bh,
+      |  abs(d.w * bk.bh - bk.bw * d.h) * bk.mul AS dist
+      | FROM dims d, bk),
+      |chosen AS (
+      | SELECT doc_id, w, h, idx, bw, bh FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist, idx) AS rn FROM scored)
+      | WHERE rn = 1),
+      |ranked AS (
+      | SELECT *, row_number() OVER (ORDER BY idx, doc_id) - 1 AS rk FROM chosen),
+      |starts AS (SELECT idx, min(rk) AS bstart FROM ranked GROUP BY idx)
+      |SELECT r.doc_id, r.w, r.h, CAST(r.idx AS INT) AS bucket,
+      | CAST(r.bw AS INT) AS bucket_w, CAST(r.bh AS INT) AS bucket_h,
+      | CAST((r.rk - s.bstart) // 16 AS BIGINT) AS batch_id,
+      | CAST((r.rk - s.bstart) % 16 AS INT) AS slot
+      |FROM ranked r JOIN starts s USING (idx) ORDER BY r.doc_id""".stripMargin
 }

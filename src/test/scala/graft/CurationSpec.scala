@@ -708,6 +708,34 @@ class CurationSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("T69: aspectBucketBatches snaps to the nearest ratio and cuts contiguous batches") {
+    import graft.ops.Multimodal
+    val buckets = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+    // hand-picked dims with known nearest buckets
+    val rows = Seq(
+      (1L, 512L, 512L),  // exactly 1:1
+      (2L, 640L, 480L),  // exactly 4:3
+      (3L, 479L, 640L),  // near 3:4
+      (4L, 1920L, 1080L), // exactly 16:9
+      (5L, 1080L, 1921L), // near 9:16
+      (6L, 500L, 500L), (7L, 501L, 500L), (8L, 502L, 500L)) // all ~1:1
+    val got = Multimodal.aspectBucketBatches(rows.toDF("id", "w", "h"),
+        "id", col("w"), col("h"), buckets, batchSize = 2)
+      .select($"id", $"bucket", $"batch_id", $"slot")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1)
+    assert(got.map(g => g._1 -> g._2).toMap ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4, 6L -> 0, 7L -> 0, 8L -> 0))
+    // bucket 0 members in id order (1,6,7,8) -> batches (0,0),(0,1),(1,0),(1,1)
+    val b0 = got.filter(_._2 == 0).map(g => (g._1, g._3, g._4))
+    assert(b0.toSeq == Seq((1L, 0L, 0), (6L, 0L, 1), (7L, 1L, 0), (8L, 1L, 1)))
+    // reshard invariance
+    val re = Multimodal.aspectBucketBatches(rows.toDF("id", "w", "h").repartition(5),
+        "id", col("w"), col("h"), buckets, batchSize = 2)
+      .select($"id", $"bucket", $"batch_id", $"slot")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+  }
+
   test("T68: retainCanonical keeps the best-quality member, ties to smaller id") {
     // clusters {1,2,3} label 1, {5,6} label 5, singleton {4}
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))

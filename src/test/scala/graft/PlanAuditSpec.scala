@@ -531,6 +531,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"q109 ranks via a window:\n${p.take(2000)}")
   }
 
+  test("q111: aspect bucketing — bucket offsets broadcast, no corpus-wide window") {
+    // the bucket argmin is a literal projection and the within-bucket
+    // position is prefix-sum rank minus a broadcast buckets-sized
+    // offset frame; a Window here means the per-bucket rank regressed
+    // to a window sort (dominant-bucket single-task at scale)
+    val p = plan("q111_aspect_buckets")
+    assert(!p.contains("Window"), s"q111 ranks via a window:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), s"q111 bucket offsets not broadcast:\n${p.take(2000)}")
+  }
+
   test("q110: canonical retention — keyed joins only, no cartesian") {
     // cluster stats join back on cluster_id and quality joins on the id;
     // a cartesian/BNLJ means the argmax escaped its aggregate
