@@ -295,6 +295,37 @@ object Curation {
   }
 
   /**
+   * Fixed-ratio two-stream interleave — the deterministic training
+   * order for mixed-modality corpora (Flamingo/LLaVA-style schedules
+   * mix image-caption and text batches at a fixed ratio, public
+   * practice): every cycle of aPer+bPer global slots holds aPer
+   * stream-A rows then bPer stream-B rows, each stream in its own id
+   * order. slot = (pos div per)·cycle + offset + (pos mod per) — a
+   * pure function of the row's within-stream position, so the layout
+   * is reproducible across reshardings and engines, and when one
+   * stream exhausts the other's slots simply continue (the trainer
+   * compacts; keeping the formula pure keeps it oracle-checkable).
+   *
+   * Scale: one [[runningOffset]] two-pass range-shuffle rank per
+   * stream (never a single-partition window) + a union; the slot
+   * math is integer column arithmetic.
+   */
+  def interleaveStreams(a: DataFrame, b: DataFrame, id: String,
+                        aPer: Int, bPer: Int): DataFrame = {
+    val cycle = (aPer + bPer).toLong
+    def ranked(df: DataFrame, mod: String): DataFrame =
+      runningOffset(df.select(col(id)).withColumn("n_tokens", lit(1L)),
+          Seq(col(id)))
+        .select(col(id), lit(mod).as("modality"), col("start_tok").as("pos"))
+    val ra = ranked(a, "a").withColumn("slot",
+      expr(s"pos div $aPer") * cycle + pmod(col("pos"), lit(aPer.toLong)))
+    val rb = ranked(b, "b").withColumn("slot",
+      expr(s"pos div $bPer") * cycle + lit(aPer.toLong) +
+        pmod(col("pos"), lit(bPer.toLong)))
+    ra.unionByName(rb)
+  }
+
+  /**
    * Per-stratum quality calibration (FineWeb/CCNet-style per-dump
    * thresholding, public practice): raw quality signals are not
    * comparable across sources — a news dump and a forum dump have

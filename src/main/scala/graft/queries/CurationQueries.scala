@@ -470,4 +470,30 @@ object CurationQueries {
       |SELECT doc_id, n_tokens,
       | CAST(least(rk % 16, 15 - (rk % 16)) AS INT) AS shard
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q112 (T70): fixed-ratio multimodal interleave — image-caption
+    * rows (doc_id % 5 = 0, the 20% "image" stream) dealt 1 per cycle
+    * of 4 against 3 text rows, each stream in doc_id order. The
+    * oracle's per-stream row_number windows ARE the semantics; the
+    * Spark default ranks each stream via the two-pass prefix sum. */
+  def q112Interleave(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"))
+    Curation.interleaveStreams(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", aPer = 1, bPer = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val q112Sql: String =
+    """WITH a AS (
+      | SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+      | FROM documents WHERE doc_id % 5 = 0),
+      |b AS (
+      | SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+      | FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT doc_id, 'a' AS modality, pos, (pos // 1) * 4 + pos % 1 AS slot FROM a
+      |UNION ALL
+      |SELECT doc_id, 'b' AS modality, pos, (pos // 3) * 4 + 1 + pos % 3 AS slot FROM b
+      |ORDER BY doc_id""".stripMargin
 }

@@ -736,6 +736,30 @@ class CurationSpec extends AnyFunSuite {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("T70: interleaveStreams deals a:b cycles, pure slot function, reshard-invariant") {
+    val a = Seq(10L, 20L, 30L).toDF("id")          // "image" stream
+    val b = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id") // "text" stream
+    val got = Curation.interleaveStreams(a, b, "id", aPer = 1, bPer = 3)
+      .select($"id", $"modality", $"pos", $"slot")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // cycle of 4: slot 0 -> a, slots 1-3 -> b
+    val want = Set(
+      (10L, "a", 0L, 0L), (20L, "a", 1L, 4L), (30L, "a", 2L, 8L),
+      (1L, "b", 0L, 1L), (2L, "b", 1L, 2L), (3L, "b", 2L, 3L),
+      (4L, "b", 3L, 5L), (5L, "b", 4L, 6L), (6L, "b", 5L, 7L),
+      (7L, "b", 6L, 9L))
+    assert(got == want)
+    // slots are unique (a valid global order) and the a-stream lands
+    // exactly on the cycle starts
+    assert(got.map(_._4).size == got.size)
+    assert(got.filter(_._2 == "a").forall(_._4 % 4 == 0))
+    val re = Curation.interleaveStreams(a.repartition(3), b.repartition(4),
+        "id", aPer = 1, bPer = 3)
+      .select($"id", $"modality", $"pos", $"slot")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(re == got)
+  }
+
   test("T68: retainCanonical keeps the best-quality member, ties to smaller id") {
     // clusters {1,2,3} label 1, {5,6} label 5, singleton {4}
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))

@@ -541,6 +541,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"q111 bucket offsets not broadcast:\n${p.take(2000)}")
   }
 
+  test("q112: interleave — per-stream prefix-sum ranks, no window") {
+    val p = plan("q112_interleave")
+    assert(!p.contains("Window"), s"q112 ranks via a window:\n${p.take(2000)}")
+  }
+
   test("q110: canonical retention — keyed joins only, no cartesian") {
     // cluster stats join back on cluster_id and quality joins on the id;
     // a cartesian/BNLJ means the argmax escaped its aggregate
