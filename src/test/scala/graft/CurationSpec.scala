@@ -760,6 +760,56 @@ class CurationSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("T67/T70: randomized shapes — snake balance bound and interleave slot algebra hold") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 4) {
+      val n = 50 + rnd.nextInt(400)
+      val nShards = 2 + rnd.nextInt(7)
+      val maxCost = 1 + rnd.nextInt(500)
+      val rows = (1 to n).map(i => (i.toLong, 1L + rnd.nextInt(maxCost)))
+      val got = Curation.shardAssign(rows.toDF("id", "cost"), "id", col("cost"), nShards)
+        .as[(Long, Long, Int)].collect()
+      // exact rank-reference parity
+      val want = rows.sortBy { case (id, c) => (-c, id) }.zipWithIndex.map {
+        case ((id, c), rk) =>
+          val slot = rk % (2 * nShards)
+          (id, c, math.min(slot, 2 * nShards - 1 - slot))
+      }.toSet
+      assert(got.toSet == want, s"trial $trial (n=$n S=$nShards)")
+      // balance: when every shard saw at least one full snake cycle, the
+      // total spread stays within one max item (the dealing guarantee)
+      if (n >= 2 * nShards) {
+        val totals = got.groupBy(_._3).map { case (_, g) => g.map(_._2).sum }
+        assert(totals.size == nShards)
+        assert(totals.max - totals.min <= rows.map(_._2).max,
+          s"trial $trial: spread ${totals.max - totals.min} > max item ${rows.map(_._2).max}")
+      }
+
+      val (aPer, bPer) = (1 + rnd.nextInt(3), 1 + rnd.nextInt(4))
+      val na = 1 + rnd.nextInt(60)
+      val nb = 1 + rnd.nextInt(60)
+      val a = (1 to na).map(i => i.toLong * 10).toDF("id")
+      val b = (1 to nb).map(i => i.toLong * 10 + 1).toDF("id")
+      val inter = Curation.interleaveStreams(a, b, "id", aPer, bPer)
+        .as[(Long, String, Long, Long)].collect()
+      val cycle = aPer + bPer
+      // slots unique; modality recoverable from slot arithmetic; pos
+      // dense 0..n-1 per stream
+      assert(inter.map(_._4).distinct.length == inter.length)
+      inter.foreach { case (_, m, pos, slot) =>
+        val inCycle = slot % cycle
+        assert(if (m == "a") inCycle < aPer else inCycle >= aPer,
+          s"trial $trial: slot $slot wrong phase for $m (a=$aPer b=$bPer)")
+        val wantSlot =
+          if (m == "a") (pos / aPer) * cycle + pos % aPer
+          else (pos / bPer) * cycle + aPer + pos % bPer
+        assert(slot == wantSlot)
+      }
+      assert(inter.filter(_._2 == "a").map(_._3).sorted.toSeq == (0L until na).toSeq)
+      assert(inter.filter(_._2 == "b").map(_._3).sorted.toSeq == (0L until nb).toSeq)
+    }
+  }
+
   test("T68: retainCanonical keeps the best-quality member, ties to smaller id") {
     // clusters {1,2,3} label 1, {5,6} label 5, singleton {4}
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
