@@ -429,6 +429,15 @@ object Bench {
     per ++ (if (tot > suiteBar) Seq(f"total:$tot%.2f>$suiteBar%.1f") else Nil)
   }
 
+  /** JSON value for the artifact's `bar_violations` field: a real array
+    * only when the sf0.1 bars actually apply; the literal string
+    * "not_checked" otherwise — an empty array at another sf would read
+    * as "checked and clean" (BASELINE.md's contract for []). */
+  def barViolationsJson(sfDir: String, times: Seq[(String, Double)]): String =
+    if (sfDir.stripSuffix("/").endsWith("sf0.1"))
+      barViolations(times).map(v => "\"" + v + "\"").mkString("[", ",", "]")
+    else "\"not_checked\""
+
   def main(args: Array[String]): Unit = {
     // subprocess leg mode: --crawl <cores> <pages> <preSeeded>
     if (args.length == 4 && args(0) == "--crawl") {
@@ -457,8 +466,7 @@ object Bench {
     // Iteration aid: time the query suite without the (long) crawl legs.
     if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
       val qj = queryTimes.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString(",")
-      val bv = (if (sfDir.endsWith("sf0.1")) barViolations(queryTimes) else Nil)
-        .map(v => "\"" + v + "\"").mkString("[", ",", "]")
+      val bv = barViolationsJson(sfDir, queryTimes)
       println(s"""BENCH_QUERIES {$qj,"total":${f"${queryTimes.map(_._2).sum}%.3f"},"bar_violations":$bv}""")
       return
     }
@@ -628,8 +636,7 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    val barsJson = (if (sfDir.endsWith("sf0.1")) barViolations(queryTimes) else Nil)
-      .map(v => "\"" + v + "\"").mkString("[", ",", "]")
+    val barsJson = barViolationsJson(sfDir, queryTimes)
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bar_violations":$barsJson,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_pair_median":$pairMedian%.3f,"n_clean_pairs":$nCleanPairs,"secs_n_best":$sNBest%.1f,"secs_4n_best":$s4NBest%.1f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"init_secs_n":$init1%.1f,"init_secs_4n":$init4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"host_bw_min":$minBw%.3f,"host_bw_max":$maxBw%.3f,"warmup_best_n":${warmBest(nCores)}%.2f,"warmup_best_4n":${warmBest(n4Cores)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
   }

@@ -19,7 +19,9 @@ import org.apache.spark.sql.SparkSession
  */
 object ImageTruthGen {
   def main(args: Array[String]): Unit = {
-    val maxId = if (args.length > 0) args(0).toLong else 50000L
+    // default covers doc_id 0..99999 — 2x the REP=10 sweep's id domain,
+    // so the next sweep scale-up does not silently out-range the oracle
+    val maxId = if (args.length > 0) args(0).toLong else 100000L
     val outFile = if (args.length > 1) args(1) else "fixtures/image_truth.parquet"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")

@@ -360,6 +360,15 @@ object Curation {
    * partitioning — the window stays the cross-engine oracle. Pipelines
    * that can accept approximation instead broadcast per-source
    * `percentile_approx` thresholds and skip the sort entirely.
+   *
+   * Known limit: the range partitioner cannot split a single key, so a
+   * dominant stratum whose rows mostly share ONE discrete score (e.g.
+   * an upstream classifier that emits 0 for 90% of a dump) still lands
+   * that tie group in one partition — correct, but single-task for
+   * that group. Continuous scores don't hit this; discrete-scored
+   * corpora should pre-jitter the score with a deterministic id-hash
+   * epsilon below the score's resolution, or use the
+   * `percentile_approx` threshold path.
    */
   def calibrateQuality(df: DataFrame, id: String, stratum: String,
                        score: Column, dropBelowPctl: Double = 0.1): DataFrame = {
@@ -374,7 +383,7 @@ object Curation {
     // pass 1: per-(partition, stratum) counts, in partition-scan order
     val counts: Array[(Int, Any, Long)] = base.rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-      it.foreach { r => val k = r.get(si); m.update(k, m.getOrElse(k, 0L) + 1L) }
+      it.foreach { r => val k = sqlKey(r.get(si)); m.update(k, m.getOrElse(k, 0L) + 1L) }
       m.iterator.map { case (k, n) => (pid, k, n) }.toList.iterator
     }.collect()
     // within-stratum start offset of each (pid, stratum) + per-stratum n
@@ -396,7 +405,7 @@ object Curation {
       var curK: Any = null; var curV: Any = null
       var seen = 0L; var rank = 0L; var started = false
       it.map { r =>
-        val k = r.get(si); val v = r.get(vi)
+        val k = sqlKey(r.get(si)); val v = sqlKey(r.get(vi))
         if (!started || k != curK) {
           curK = k; curV = v; started = true
           seen = off((pid, k)); rank = seen + 1
@@ -408,6 +417,17 @@ object Curation {
       }
     }
     spark.createDataFrame(ranked, schema)
+  }
+
+  /** Spark's range partitioner / sort ordering treats -0.0 == 0.0 and
+    * NaN == NaN; boxed java.lang.Double/Float equality disagrees on the
+    * zeros. Normalize zeros so tie-group detection and the
+    * per-stratum count maps agree with SQL ordering equality
+    * (NaN boxes already compare equal via ==). */
+  private def sqlKey(a: Any): Any = a match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue() == 0.0f  => java.lang.Float.valueOf(0.0f)
+    case x => x
   }
 
   /**

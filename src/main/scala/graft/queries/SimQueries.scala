@@ -275,12 +275,17 @@ object SimQueries {
   }
 
   /** q47 oracle: plain DuckDB join of the documents frame against the
-    * committed codec-truth fixture (see [[q47ImageFeatures]]). */
-  val q47Sql: String =
-    """SELECT t.doc_id, t.w, t.h, t.mean_lum, t.phash, t.rw, t.rh, t.resized_md5
-      |FROM read_parquet('/root/repo/fixtures/image_truth.parquet') t
-      |JOIN documents d ON d.doc_id = t.doc_id
-      |ORDER BY t.doc_id""".stripMargin
+    * committed codec-truth fixture (see [[q47ImageFeatures]]). The
+    * fixture path resolves against the JVM's working directory at
+    * oracle-dump time (sbt forks in the repo root), so the oracle works
+    * from any checkout location. */
+  val q47Sql: String = {
+    val truth = new java.io.File("fixtures/image_truth.parquet").getAbsolutePath
+    s"""SELECT t.doc_id, t.w, t.h, t.mean_lum, t.phash, t.rw, t.rh, t.resized_md5
+       |FROM read_parquet('$truth') t
+       |JOIN documents d ON d.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
 
   /** q79: CLIP-score-style image-text alignment filter (LAION-style
     * multimodal curation): cosine between a deterministic feature-hash

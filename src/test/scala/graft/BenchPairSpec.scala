@@ -94,6 +94,18 @@ class BenchPairSpec extends AnyFunSuite {
     }
   }
 
+  test("barViolationsJson: real array only at sf0.1, not_checked elsewhere") {
+    val clean = Seq("q21_minhash_lsh" -> 1.8, "q95_dup_spans" -> 4.0)
+    assert(Bench.barViolationsJson("/root/testdata/sf0.1", clean) == "[]")
+    assert(Bench.barViolationsJson("/root/testdata/sf0.1/", clean) == "[]")
+    val bad = Seq("q21_minhash_lsh" -> 11.0, "q95_dup_spans" -> 4.0)
+    assert(Bench.barViolationsJson("/root/testdata/sf0.1", bad)
+      .contains("q21_minhash_lsh:11.00>10.0"))
+    // any other sf must NOT read as "checked and clean"
+    assert(Bench.barViolationsJson("target/testdata/sf1.0", clean) == "\"not_checked\"")
+    assert(Bench.barViolationsJson("/root/testdata/sf0.01", bad) == "\"not_checked\"")
+  }
+
   test("missing file, malformed lines, unset floors -> (-1, 0)") {
     assert(Bench.pairStats(
       java.nio.file.Paths.get("/tmp/definitely-missing-pairs.tsv"),

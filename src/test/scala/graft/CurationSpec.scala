@@ -312,6 +312,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got.find(_._1 == 1001L).get._4 == 0.0)
   }
 
+  test("calibrateQuality: -0.0 and 0.0 scores form ONE tie group (SQL ordering equality)") {
+    // boxed java.lang.Double treats -0.0 != 0.0, but Spark's range
+    // partitioner/sort and the percent_rank oracle treat them equal —
+    // the tie-group detector must use SQL equality or the zeros split
+    // into two rank groups nondeterministically
+    val rows = Seq((1L, "s", 0.0), (2L, "s", -0.0), (3L, "s", 0.0),
+      (4L, "s", -0.0), (5L, "s", 1.0), (6L, "s", -1.0))
+    val df = rows.toDF("doc_id", "source", "sc").repartition(4)
+    val got = Curation.calibrateQuality(df, "doc_id", "source", col("sc"), 0.1)
+      .select($"doc_id", $"pctl").as[(Long, Double)].collect().toMap
+    // order: -1.0 < {all four zeros, rank 2, pctl 1/5} < 1.0
+    assert(got(6L) == 0.0)
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(got(id) == 0.2, s"doc $id: ${got(id)}"))
+    assert(got(5L) == 1.0)
+  }
+
   test("captionAlignment: proportional embedding -> 1.0, negated -> -1.0, empty -> 0.0") {
     import graft.ops.Multimodal
     // replicate the operator's md5 bucket/sign on the driver
