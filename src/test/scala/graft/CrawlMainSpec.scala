@@ -12,6 +12,12 @@ import graft.icelite.IceLite
   * nothing new — the kill-and-resubmit operational loop. */
 class CrawlMainSpec extends AnyFunSuite {
 
+  test("driver contract: SparkEntry.entry returns rows at sf0.001") {
+    // the driver smoke-checks rows > 0; pin it so a registry or
+    // flagship-query change can never silently break the contract
+    assert(SparkEntry.entry(SparkTestBase.spark).count() > 0)
+  }
+
   test("fresh submit crawls to drain; resubmit resumes as a no-op") {
     SparkTestBase.spark // the builder in main getOrCreate()s this session
     val root = Files.createTempDirectory("crawlmain").toString
