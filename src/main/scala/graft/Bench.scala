@@ -429,14 +429,37 @@ object Bench {
     per ++ (if (tot > suiteBar) Seq(f"total:$tot%.2f>$suiteBar%.1f") else Nil)
   }
 
+  /** True iff the sf dir's FINAL PATH SEGMENT is exactly "sf0.1" — the
+    * scale the query bars are calibrated at. Segment equality, not a
+    * string suffix: ".../xsf0.1" or a doubled trailing slash must not
+    * turn the bars on against data they were never calibrated for. */
+  private[graft] def isCalibratedSf(sfDir: String): Boolean =
+    sfDir.split('/').reverseIterator.find(_.nonEmpty).contains("sf0.1")
+
+  /** Crawl-gate violation (BASELINE.md "crawl pair-median >= 0.8"):
+    * non-empty when the banked-pair median efficiency exists (>= 1
+    * clean pair) and misses the 0.8 north-rule bar. No clean pairs →
+    * nothing to flag here; `n_clean_pairs: 0` in the artifact already
+    * says the estimator is absent. */
+  def crawlViolations(pairMedian: Double, nCleanPairs: Int): Seq[String] =
+    if (nCleanPairs > 0 && pairMedian < 0.80)
+      Seq(f"crawl_pair_median:$pairMedian%.3f<0.8")
+    else Nil
+
   /** JSON value for the artifact's `bar_violations` field: a real array
     * only when the sf0.1 bars actually apply; the literal string
     * "not_checked" otherwise — an empty array at another sf would read
-    * as "checked and clean" (BASELINE.md's contract for []). */
-  def barViolationsJson(sfDir: String, times: Seq[(String, Double)]): String =
-    if (sfDir.stripSuffix("/").endsWith("sf0.1"))
-      barViolations(times).map(v => "\"" + v + "\"").mkString("[", ",", "]")
+    * as "checked and clean" (BASELINE.md's contract for []). `crawl`
+    * carries [[crawlViolations]] when the crawl legs ran: crawl bars are
+    * sf-independent, so they join the array at sf0.1 and force a real
+    * array (never "not_checked") when violated at any other sf. */
+  def barViolationsJson(sfDir: String, times: Seq[(String, Double)],
+                        crawl: Seq[String] = Nil): String = {
+    def arr(vs: Seq[String]) = vs.map(v => "\"" + v + "\"").mkString("[", ",", "]")
+    if (isCalibratedSf(sfDir)) arr(barViolations(times) ++ crawl)
+    else if (crawl.nonEmpty) arr(crawl)
     else "\"not_checked\""
+  }
 
   def main(args: Array[String]): Unit = {
     // subprocess leg mode: --crawl <cores> <pages> <preSeeded>
@@ -636,7 +659,8 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    val barsJson = barViolationsJson(sfDir, queryTimes)
+    val barsJson = barViolationsJson(sfDir, queryTimes,
+      crawlViolations(pairMedian, nCleanPairs))
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bar_violations":$barsJson,"sf":"$sfDir","crawl":{"mode":"frontier_drain","pages":$crawlPages,"n_cores":$nCores,"4n_cores":$n4Cores,"urls_per_sec_n":$rateN%.1f,"urls_per_sec_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_pair_median":$pairMedian%.3f,"n_clean_pairs":$nCleanPairs,"secs_n_best":$sNBest%.1f,"secs_4n_best":$s4NBest%.1f,"fetched_n":$f1,"fetched_4n":$f4,"secs_n":$s1%.1f,"secs_4n":$s4%.1f,"init_secs_n":$init1%.1f,"init_secs_4n":$init4%.1f,"host_probe_min":$minProbe%.3f,"host_probe_max":$maxProbe%.3f,"host_probe4_min":$minProbe4%.3f,"host_probe4_max":$maxProbe4%.3f,"host_bw_min":$minBw%.3f,"host_bw_max":$maxBw%.3f,"warmup_best_n":${warmBest(nCores)}%.2f,"warmup_best_4n":${warmBest(n4Cores)}%.2f,"legs_n_secs":${legsJson(legsN.toSeq)},"legs_4n_secs":${legsJson(legs4N.toSeq)},"bfs_pages":$fb,"bfs_secs":$sb%.1f,"bfs_urls_per_sec_4n":${fb / sb}%.1f}}""")
   }

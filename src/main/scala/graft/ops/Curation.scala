@@ -195,8 +195,19 @@ object Curation {
    * shape the crawl pipeline uses for BFS seq assignment. Pack ids use
    * integer `div`, exact at any corpus size (no double rounding).
    */
+  /** The prefix-sum helpers project internal working columns next to the
+    * caller's id column; an id NAMED like one of them would silently
+    * produce a duplicate/ambiguous column instead of an error. Fail
+    * fast with the rename instruction instead. */
+  private def requireIdFree(op: String, id: String, reserved: String*): Unit =
+    require(!reserved.contains(id),
+      s"$op: id column '$id' collides with an internal column " +
+        s"(reserved here: ${reserved.mkString(", ")}); alias it upstream")
+
   def packSequences(df: DataFrame, id: String, nTokens: Column,
                     budget: Long): DataFrame = {
+    requireIdFree("packSequences", id,
+      "n_tokens", "start_tok", "last_tok", "pack_first", "pack_last", "n_packs")
     runningOffset(df.select(col(id), nTokens.cast("long").as("n_tokens")),
         Seq(col(id)))
       // last occupied token (empty docs occupy none: clamp to start_tok)
@@ -255,13 +266,16 @@ object Curation {
    * window, exact integer running totals at any corpus size.
    */
   def selectUnderBudget(df: DataFrame, id: String, nTokens: Column,
-                        quality: Column, budget: Long): DataFrame =
+                        quality: Column, budget: Long): DataFrame = {
+    requireIdFree("selectUnderBudget", id,
+      "quality", "n_tokens", "start_tok", "cum_tokens", "selected")
     runningOffset(
         df.select(col(id), quality.as("quality"), nTokens.cast("long").as("n_tokens")),
         Seq(col("quality").desc, col(id)))
       .withColumn("cum_tokens", col("start_tok") + col("n_tokens"))
       .withColumn("selected", col("cum_tokens") <= budget)
       .select(col(id), col("quality"), col("n_tokens"), col("cum_tokens"), col("selected"))
+  }
 
   /**
    * Balanced shard assignment — the "write the corpus as S training
@@ -284,6 +298,7 @@ object Curation {
    */
   def shardAssign(df: DataFrame, id: String, cost: Column,
                   nShards: Int): DataFrame = {
+    requireIdFree("shardAssign", id, "cost", "n_tokens", "start_tok", "slot", "shard")
     val cycle = 2L * nShards
     runningOffset(
         df.select(col(id), cost.cast("long").as("cost"), lit(1L).as("n_tokens")),
@@ -312,6 +327,8 @@ object Curation {
    */
   def interleaveStreams(a: DataFrame, b: DataFrame, id: String,
                         aPer: Int, bPer: Int): DataFrame = {
+    requireIdFree("interleaveStreams", id,
+      "n_tokens", "start_tok", "modality", "pos", "slot")
     val cycle = (aPer + bPer).toLong
     def ranked(df: DataFrame, mod: String): DataFrame =
       runningOffset(df.select(col(id)).withColumn("n_tokens", lit(1L)),
@@ -418,6 +435,32 @@ object Curation {
     }
     spark.createDataFrame(ranked, schema)
   }
+
+  /** Deterministic tie-breaking jitter for DISCRETE quality scores —
+    * the documented [[calibrateQuality]] mitigation for its known
+    * limit: the range partitioner cannot split one key, so a dominant
+    * stratum whose rows share a single discrete score lands that whole
+    * tie group in one partition (correct but single-task). Adding an
+    * id-hash epsilon strictly BELOW the score's resolution makes every
+    * key unique — the tie group then spreads across range partitions —
+    * without ever reordering two rows whose true scores differ:
+    *
+    *   jittered = score + (xxhash64(id) mod 2^20) / 2^20 × resolution/2
+    *
+    * so the epsilon is in [0, resolution/2) ⊂ [0, resolution). The
+    * epsilon is a pure function of the id (partition-order free,
+    * engine-portable: xxhash64 is the same on any Spark cluster), so
+    * reruns and oracles agree bit-for-bit. Semantics shift exactly as a
+    * caller opting in expects: former ties now rank in id-hash order
+    * (percent_rank spreads over the tie group instead of sharing the
+    * leader's), which is the SAME keep/drop family a window over the
+    * jittered column yields — CurationSpec pins both the parity and the
+    * multi-partition spread. `resolution` = the smallest gap between
+    * distinct true scores (1.0 for integer scores). */
+  def jitteredScore(score: Column, id: Column, resolution: Double): Column =
+    score.cast("double") +
+      pmod(xxhash64(id), lit(1048576L)).cast("double") / 1048576d *
+        (resolution / 2d)
 
   /** Spark's range partitioner / sort ordering treats -0.0 == 0.0 and
     * NaN == NaN; boxed java.lang.Double/Float equality disagrees on the

@@ -513,6 +513,12 @@ object Dedup {
    * broadcast-or-shuffle join back; quality is any integer column the
    * caller derives (token count here — [[graft.ops.TextAnalysis]]
    * scores plug in unchanged).
+   *
+   * Contract: `quality` must cover every cluster node. A left join +
+   * raise_error enforces it — an inner join would silently DROP
+   * uncovered members, shrinking cluster_size (inflating weight_ppm)
+   * and possibly shifting the canonical pick, so a partial quality
+   * frame fails the job loudly instead of reshaping clusters.
    */
   def retainCanonical(clusters: DataFrame, nodeCol: String, labelCol: String,
                       quality: DataFrame, qIdCol: String,
@@ -521,7 +527,12 @@ object Dedup {
       qualityCol.cast("long").as("quality"))
     val members = clusters
       .select(col(nodeCol).as("node"), col(labelCol).as("cluster_id"))
-      .join(q, "node")
+      .join(q, Seq("node"), "left")
+      .withColumn("quality",
+        when(col("quality").isNull, raise_error(concat(
+          lit("retainCanonical: quality frame has no row for node "),
+          col("node").cast("string"))))
+          .otherwise(col("quality")))
     val stats = members.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         min(struct((-col("quality")).as("nq"), col("node").as("best"))).as("b"))

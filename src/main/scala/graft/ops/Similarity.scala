@@ -328,19 +328,40 @@ object Similarity {
    * kernel is the codegen [[graft.functions.LongDot]] expansion
    * dist2 = n2x − 2·dot + n2c, so assignment stays inside
    * whole-stage codegen.
+   *
+   * Large k: the literal argmin embeds k·dim long literals per
+   * alternative — past a few hundred centroids the generated method
+   * outgrows the JVM/codegen limits (Spark falls back to interpreted)
+   * and the plan itself balloons. Above `literalMaxK` (default 128,
+   * the coarse-quantizer regime where the codegen win is real)
+   * assignment switches to a broadcast join against a k-row centroid
+   * table (the [[ivfTopK]] cellAssign shape): dist2 per (vector,
+   * centroid) pair, then a map-side-combinable `min(struct(dist2,
+   * cid))` argmin — same exact integers, same smaller-cid tie-break,
+   * bit-identical cells, k bounded only by broadcast size (k·dim·8
+   * bytes — a 65k×64 codebook is 33 MB).
    */
+  private[graft] val DefaultLiteralMaxK = 128
+
   def kmeansCentroids(df: DataFrame, id: String, emb: String, k: Int,
-                      rounds: Int): Array[Array[Long]] = {
+                      rounds: Int,
+                      literalMaxK: Int = DefaultLiteralMaxK): Array[Array[Long]] = {
     val base = withScaled(df, emb).select(col(id), col("scaled"), col("norm2"))
     val dim = base.select(size(col("scaled"))).head().getInt(0)
     var cents: Array[Array[Long]] = base.orderBy(col(id)).select(col("scaled"))
       .head(k)
       .map(_.getSeq[Long](0).toArray)
     for (_ <- 1 to rounds) {
-      // assignment + recenter in ONE corpus scan: the argmin struct is a
-      // projection, the 64 sums partial-aggregate map-side into k rows
-      val sums = base
-        .select(col("scaled"), minCellStruct(cents).getField("cid").as("cell"))
+      // assignment + recenter in ONE corpus scan (literal path: the
+      // argmin struct is a projection) or scan + broadcast join (large
+      // k); either way the dim sums partial-aggregate map-side into k
+      // rows
+      val assigned =
+        if (cents.length <= literalMaxK)
+          base.select(col("scaled"), minCellStruct(cents).getField("cid").as("cell"))
+        else
+          joinAssign(base, id, cents).select(col("scaled"), col("cell"))
+      val sums = assigned
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("cnt"),
           (0 until dim).map(i => sum(col("scaled").getItem(i)).as(s"s$i")): _*)
@@ -352,6 +373,29 @@ object Similarity {
       }
     }
     cents
+  }
+
+  /** Broadcast-join cell assignment for large k (see [[kmeansCentroids]]):
+    * returns (id, scaled, cell:int, dist2:bigint). The k-row centroid
+    * table broadcasts; the per-id argmin is `min(struct(dist2, cid))` —
+    * map-side combinable, ties to the smaller cid exactly like
+    * [[minCellStruct]]'s `array_min`. `first(scaled)` is deterministic:
+    * every joined row of an id carries the same scaled vector. */
+  private def joinAssign(base: DataFrame, id: String,
+                         cents: Array[Array[Long]]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cdf = cents.zipWithIndex
+      .map { case (c, cid) => (cid, c.toSeq, c.map(x => x * x).sum) }
+      .toSeq.toDF("cid", "cs", "cn2")
+    base.crossJoin(broadcast(cdf))
+      .withColumn("dist2",
+        col("norm2") - lit(2L) * dotCol(col("scaled"), col("cs")) + col("cn2"))
+      .groupBy(col(id))
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"),
+        first(col("scaled")).as("scaled"))
+      .select(col(id), col("scaled"), col("m.cid").as("cell"),
+        col("m.dist2").as("dist2"))
   }
 
   /** Exact-integer argmin over literal centroids: a struct column
@@ -368,12 +412,18 @@ object Similarity {
   }
 
   /** Final k-means cell assignment after `rounds` Lloyd iterations:
-    * (id, cell:int, dist2:bigint) for every vector. */
+    * (id, cell:int, dist2:bigint) for every vector. Chooses the literal
+    * or broadcast-join assignment path by `literalMaxK` exactly like
+    * [[kmeansCentroids]] — both paths are bit-identical. */
   def kmeansAssign(df: DataFrame, id: String, emb: String, k: Int,
-                   rounds: Int): DataFrame = {
-    val cents = kmeansCentroids(df, id, emb, k, rounds)
-    withScaled(df, emb).select(col(id), col("scaled"), col("norm2"))
-      .select(col(id), minCellStruct(cents).as("m"))
-      .select(col(id), col("m.cid").as("cell"), col("m.dist2").as("dist2"))
+                   rounds: Int,
+                   literalMaxK: Int = DefaultLiteralMaxK): DataFrame = {
+    val cents = kmeansCentroids(df, id, emb, k, rounds, literalMaxK)
+    val base = withScaled(df, emb).select(col(id), col("scaled"), col("norm2"))
+    if (cents.length <= literalMaxK)
+      base.select(col(id), minCellStruct(cents).as("m"))
+        .select(col(id), col("m.cid").as("cell"), col("m.dist2").as("dist2"))
+    else
+      joinAssign(base, id, cents).select(col(id), col("cell"), col("dist2"))
   }
 }

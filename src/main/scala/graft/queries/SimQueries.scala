@@ -276,11 +276,22 @@ object SimQueries {
 
   /** q47 oracle: plain DuckDB join of the documents frame against the
     * committed codec-truth fixture (see [[q47ImageFeatures]]). The
-    * fixture path resolves against the JVM's working directory at
-    * oracle-dump time (sbt forks in the repo root), so the oracle works
-    * from any checkout location. */
-  val q47Sql: String = {
-    val truth = new java.io.File("fixtures/image_truth.parquet").getAbsolutePath
+    * fixture path resolves at oracle-dump time, first via the
+    * GRAFT_REPO_ROOT env var / graft.repo.root system property, then
+    * the JVM's working directory (sbt forks in the repo root) — and the
+    * resolved file's EXISTENCE is checked so a tool launched from
+    * outside the repo fails here with a clear message instead of an
+    * opaque read_parquet error from the oracle runner. */
+  lazy val q47Sql: String = {
+    val rel = "fixtures/image_truth.parquet"
+    val roots = (sys.env.get("GRAFT_REPO_ROOT") ++
+      sys.props.get("graft.repo.root") ++ Seq(".")).toSeq
+    val truth = roots.map(r => new java.io.File(r, rel))
+      .find(_.isFile)
+      .getOrElse(throw new IllegalStateException(
+        s"q47 oracle fixture $rel not found under any of $roots — " +
+          "launch from the repo root or set GRAFT_REPO_ROOT"))
+      .getAbsolutePath
     s"""SELECT t.doc_id, t.w, t.h, t.mean_lum, t.phash, t.rw, t.rh, t.resized_md5
        |FROM read_parquet('$truth') t
        |JOIN documents d ON d.doc_id = t.doc_id

@@ -106,6 +106,35 @@ class BenchPairSpec extends AnyFunSuite {
     assert(Bench.barViolationsJson("/root/testdata/sf0.01", bad) == "\"not_checked\"")
   }
 
+  test("crawl pair-median bar: flagged below 0.8, clean at/above, absent without pairs") {
+    // BASELINE.md's table lists "crawl pair-median >= 0.8" — the
+    // artifact must flag its violation mechanically like the query bars
+    assert(Bench.crawlViolations(pairMedian = 0.75, nCleanPairs = 12) ==
+      Seq("crawl_pair_median:0.750<0.8"))
+    assert(Bench.crawlViolations(0.80, 12).isEmpty)
+    assert(Bench.crawlViolations(0.841, 53).isEmpty)
+    // no clean pairs -> no median exists -> nothing to flag (the
+    // artifact's n_clean_pairs:0 carries that state)
+    assert(Bench.crawlViolations(-1.0, 0).isEmpty)
+    // the crawl entry joins the sf0.1 array and forces a real array at
+    // any other sf (crawl bars are sf-independent)
+    val clean = Seq("q21_minhash_lsh" -> 1.8)
+    assert(Bench.barViolationsJson("/root/testdata/sf0.1", clean,
+      Bench.crawlViolations(0.75, 10)) == "[\"crawl_pair_median:0.750<0.8\"]")
+    assert(Bench.barViolationsJson("target/testdata/sf1.0", clean,
+      Bench.crawlViolations(0.75, 10)) == "[\"crawl_pair_median:0.750<0.8\"]")
+    assert(Bench.barViolationsJson("target/testdata/sf1.0", clean,
+      Bench.crawlViolations(0.85, 10)) == "\"not_checked\"")
+  }
+
+  test("sf gating is exact-segment: xsf0.1 and doubled slashes do not calibrate") {
+    val clean = Seq("q21_minhash_lsh" -> 1.8)
+    // a dir merely ENDING in the substring must not turn the bars on
+    assert(Bench.barViolationsJson("/data/xsf0.1", clean) == "\"not_checked\"")
+    // a doubled trailing slash must not turn them off
+    assert(Bench.barViolationsJson("/root/testdata/sf0.1//", clean) == "[]")
+  }
+
   test("missing file, malformed lines, unset floors -> (-1, 0)") {
     assert(Bench.pairStats(
       java.nio.file.Paths.get("/tmp/definitely-missing-pairs.tsv"),

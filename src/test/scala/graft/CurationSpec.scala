@@ -328,6 +328,90 @@ class CurationSpec extends AnyFunSuite {
     assert(got(5L) == 1.0)
   }
 
+  test("jitteredScore: a 90%-one-score stratum spreads over partitions, window parity holds") {
+    // the documented calibrateQuality known limit: a dominant stratum
+    // whose rows share ONE discrete score lands that tie group in one
+    // range partition (a partitioner cannot split a key). jitteredScore
+    // adds a deterministic id-hash epsilon below the score's resolution:
+    // keys become unique (the group spreads) and no two rows with
+    // DIFFERENT true scores ever reorder
+    val rows = (1 to 900).map(i => (i.toLong, "big", 5L)) ++ // 90% share score 5
+      (901 to 1000).map(i => (i.toLong, "big", (i % 10 + 1).toLong))
+    val df = rows.toDF("doc_id", "source", "sc").repartition(7)
+    val jit = Curation.jitteredScore(col("sc"), col("doc_id"), resolution = 1.0)
+
+    // (a) epsilon bounds: jittered stays within [score, score + res/2),
+    // so cross-score order is preserved exactly
+    val js = df.select($"doc_id", $"sc", jit.as("j")).as[(Long, Long, Double)].collect()
+    js.foreach { case (id, sc, j) =>
+      assert(j >= sc && j < sc + 0.5, s"doc $id: jitter out of bounds ($sc -> $j)") }
+    // and the 900-row tie group becomes (nearly) all-distinct keys
+    assert(js.filter(_._2 == 5L).map(_._3).distinct.length > 850)
+
+    // (b) the mechanism: under the SAME range partitioning
+    // calibrateQuality uses internally, the former tie group now spans
+    // multiple partitions instead of one single-task partition
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val spread = df.select($"doc_id", $"source", $"sc", jit.as("raw_score"))
+      .repartitionByRange(nParts, $"source", $"raw_score")
+      .select($"sc", org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .as[(Long, Int)].collect()
+    assert(spread.filter(_._1 == 5L).map(_._2).distinct.length > 1,
+      "jittered tie group still lands in a single range partition")
+
+    // (c) bit-for-bit window parity ON THE JITTERED SCORE — keep/drop
+    // included (the jitter shifts tie semantics exactly as documented:
+    // former ties rank in id-hash order; parity with the window form on
+    // the same column is the contract)
+    val got = Curation.calibrateQuality(df, "doc_id", "source", jit, 0.1)
+      .select($"doc_id", $"pctl", $"keep").as[(Long, Double, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    val want = df.select($"doc_id", $"source", jit.as("raw_score"))
+      .withColumn("pctl", org.apache.spark.sql.functions.percent_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source").orderBy($"raw_score")))
+      .withColumn("keep", $"pctl" >= 0.1)
+      .select($"doc_id", $"pctl", $"keep").as[(Long, Double, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
+  test("prefix-sum ops fail fast when the id column collides with an internal name") {
+    // an id literally named like a helper column would otherwise emit a
+    // duplicate/ambiguous column (ADVICE r4) — the ops must refuse with
+    // the rename instruction instead
+    val df = Seq((1L, 2L)).toDF("cost", "x")
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.shardAssign(df, "cost", col("x"), nShards = 2) }
+    assert(e1.getMessage.contains("collides"))
+    val df2 = Seq((1L, 2L)).toDF("pos", "x")
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.interleaveStreams(df2, df2, "pos", 2, 1) }
+    assert(e2.getMessage.contains("collides"))
+    val df3 = Seq((1L, 2L)).toDF("n_tokens", "x")
+    val e3 = intercept[IllegalArgumentException] {
+      Curation.packSequences(df3, "n_tokens", col("x"), 10L) }
+    assert(e3.getMessage.contains("collides"))
+    val df4 = Seq((1L, 2L)).toDF("quality", "x")
+    val e4 = intercept[IllegalArgumentException] {
+      Curation.selectUnderBudget(df4, "quality", col("x"), col("x"), 10L) }
+    assert(e4.getMessage.contains("collides"))
+  }
+
+  test("retainCanonical: a cluster member missing from quality fails loudly") {
+    // inner-join semantics would silently DROP the member (shrinking
+    // cluster_size, inflating weight_ppm, possibly shifting the
+    // canonical pick); the contract is a left join + raise_error
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")
+    val partial = Seq((1L, 10L), (3L, 30L)).toDF("doc_id", "q") // node 2 missing
+    val e = intercept[Exception] {
+      Dedup.retainCanonical(clusters, "node", "label", partial, "doc_id", col("q"))
+        .collect()
+    }
+    assert(e.getMessage.contains("quality frame has no row") ||
+      Option(e.getCause).exists(_.getMessage.contains("quality frame has no row")),
+      s"unexpected failure: ${e.getMessage}")
+  }
+
   test("captionAlignment: proportional embedding -> 1.0, negated -> -1.0, empty -> 0.0") {
     import graft.ops.Multimodal
     // replicate the operator's md5 bucket/sign on the driver

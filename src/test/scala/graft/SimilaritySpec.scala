@@ -107,4 +107,42 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Int, Long)].collect().toSet
     assert(re == got)
   }
+
+  test("kmeans large-k broadcast-join path is bit-identical to the literal path") {
+    // 600 deterministic pseudo-random vectors (dim 8) — enough rows for
+    // k=512, where the literal argmin's generated code would outgrow
+    // codegen limits at real dims and the join path must take over
+    val big = spark.range(600).select(
+      $"id".as("vec_id"),
+      expr("transform(sequence(0, 7), i -> " +
+        "cast((pmod(xxhash64(id * 8 + i), 1000) - 500) / 500.0 as float))")
+        .as("embedding"))
+    def run(k: Int, literalMaxK: Int): Set[(Long, Int, Long)] =
+      Similarity.kmeansAssign(big, "vec_id", "embedding", k, rounds = 2,
+          literalMaxK = literalMaxK)
+        .select($"vec_id".cast("long"), $"cell", $"dist2")
+        .as[(Long, Int, Long)].collect().toSet
+    // same k through both paths: literalMaxK above k forces literals,
+    // 0 forces the broadcast join — results must agree bit-for-bit
+    val viaLiteral = run(k = 16, literalMaxK = Int.MaxValue)
+    val viaJoin = run(k = 16, literalMaxK = 0)
+    assert(viaJoin == viaLiteral,
+      s"path divergence: ${viaJoin.diff(viaLiteral).take(3)} vs ${viaLiteral.diff(viaJoin).take(3)}")
+    assert(viaLiteral.map(_._2).size > 1)
+    // k=512 engages the join path by DEFAULT (512 > DefaultLiteralMaxK)
+    // and completes; cells actually spread
+    val k512 = Similarity.kmeansAssign(big, "vec_id", "embedding", k = 512, rounds = 1)
+      .select($"vec_id".cast("long"), $"cell", $"dist2")
+      .as[(Long, Int, Long)].collect()
+    assert(k512.length == 600)
+    assert(k512.map(_._2).distinct.length > 100, "k=512 barely used any cells")
+    // and the default path SELECTION is the documented threshold: the
+    // k=512 plan joins, the k<=128 plan stays a literal projection
+    val bigPlan = Similarity.kmeansAssign(big, "vec_id", "embedding", 512, 1)
+      .queryExecution.executedPlan.toString
+    assert(bigPlan.contains("Join"), s"k=512 did not take the join path:\n${bigPlan.take(1500)}")
+    val smallPlan = Similarity.kmeansAssign(big, "vec_id", "embedding", 16, 1)
+      .queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("Join"), s"k=16 left the literal path:\n${smallPlan.take(1500)}")
+  }
 }

@@ -22,6 +22,14 @@ Construction (seed-deterministic, REP copies of sf0.1):
 * embeddings: copy k>0 gets fresh unit-normalized gaussian vectors
   (matching the sf0.1 distribution: 64-dim, unit norm) and labels from
   the same 0..9 range.
+* doc_clusters: ground-truth connected components of the 2-gram-
+  Jaccard>=0.5 graph over the emitted documents (the q49/q110 cluster
+  semantics), computed here with exact integer set intersections +
+  union-find. This is the generator-emitted truth that lets q110's
+  sweep oracle be a plain join instead of DuckDB's recursive CTE
+  (which spills >79 GB at sf0.3 — see BASELINE.md Addendum 2). The
+  derivation is validated against the recursive-CTE form at sf0.1 by
+  tools/check_doc_clusters.py.
 
 Usage: python3 tools/gen_sfbig.py [REP] [OUTDIR]
   default REP=10 OUTDIR=target/testdata/sf1.0
@@ -109,7 +117,79 @@ for k in range(REP):
             }
         )
     )
-write("documents", pa.concat_tables(parts))
+all_docs = pa.concat_tables(parts)
+write("documents", all_docs)
+
+
+def doc_cluster_truth(doc_ids, doc_texts):
+    """(doc_id, cluster_id) for every doc: connected components of the
+    2-gram-shingle-Jaccard >= 0.5 graph, exactly the q110/q49 edge
+    semantics (lowercase, split on [^a-z0-9]+, DISTINCT shingles, exact
+    rational threshold — 2*inter >= union over integer set sizes, which
+    is equivalent to the engines' double division by >= 0.5 because
+    1/(2*union) exceeds the ulp of 0.5 for any feasible union). Docs
+    with <2 tokens have empty shingle sets and form singletons (they
+    never appear in the engines' `sh` CTE). Cost: one float32 GEMM per
+    row block over the shingle universe — the 31-word vocab keeps the
+    universe ~1e3, so sf1.0 (50k docs) is ~5e12 flops, a minute of
+    BLAS, where the DuckDB recursive CTE spills out of the sandbox."""
+    import re
+    n = len(doc_ids)
+    shingle_sets = []
+    for t in doc_texts:
+        tk = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        shingle_sets.append(frozenset(zip(tk, tk[1:])))
+    universe = sorted(set().union(*shingle_sets))
+    uidx = {s: i for i, s in enumerate(universe)}
+    A = np.zeros((n, len(universe)), dtype=np.float32)
+    for r, sh in enumerate(shingle_sets):
+        for s in sh:
+            A[r, uidx[s]] = 1.0
+    sizes = A.sum(axis=1).astype(np.int64)
+    parent = np.arange(n)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    blk = 4096
+    for b0 in range(0, n, blk):
+        b1 = min(b0 + blk, n)
+        inter = np.rint(A[b0:b1] @ A.T).astype(np.int64)
+        union = sizes[b0:b1, None] + sizes[None, :] - inter
+        mask = (2 * inter >= union) & (union > 0)
+        rows, cols = np.nonzero(mask)
+        for r, c in zip(rows.tolist(), cols.tolist()):
+            ra, rb = find(b0 + r), find(c)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    # cluster_id = min doc_id in the component (the engines' min-label)
+    roots = np.array([find(i) for i in range(n)])
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    order = np.argsort(ids)
+    root_min = {}
+    for i in order.tolist():  # ascending doc_id: first hit per root is min
+        r = roots[i]
+        if r not in root_min:
+            root_min[r] = ids[i]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array([root_min[r] for r in roots.tolist()], pa.int64()),
+        }
+    )
+
+
+write(
+    "doc_clusters",
+    doc_cluster_truth(
+        all_docs.column("doc_id").to_pylist(), all_docs.column("text").to_pylist()
+    ),
+)
 
 # embeddings: fresh unit-norm gaussians for copies
 emb = read("embeddings")
