@@ -199,7 +199,7 @@ object Curation {
     * caller's id column; an id NAMED like one of them would silently
     * produce a duplicate/ambiguous column instead of an error. Fail
     * fast with the rename instruction instead. */
-  private def requireIdFree(op: String, id: String, reserved: String*): Unit =
+  private[ops] def requireIdFree(op: String, id: String, reserved: String*): Unit =
     require(!reserved.contains(id),
       s"$op: id column '$id' collides with an internal column " +
         s"(reserved here: ${reserved.mkString(", ")}); alias it upstream")

@@ -253,6 +253,9 @@ object Multimodal {
   def aspectBucketBatches(df: DataFrame, id: String, wCol: Column,
                           hCol: Column, buckets: Seq[(Int, Int)],
                           batchSize: Int): DataFrame = {
+    Curation.requireIdFree("aspectBucketBatches", id,
+      "w", "h", "bucket", "n_tokens", "start_tok", "pos",
+      "bucket_w", "bucket_h", "batch_id", "slot")
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val L = buckets.map(_._2.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
     val alts = buckets.zipWithIndex.map { case ((bw, bh), i) =>

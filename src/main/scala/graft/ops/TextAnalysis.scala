@@ -35,8 +35,12 @@ object TextAnalysis {
   /** Per-document quality metrics: token count, average token length,
     * stopword ratio (all integer-derived, deterministic doubles). */
   def qualityScore(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = tokensCol(col(text))
-    df.select(
+    // tokenize once per row: three sibling expressions over an inline
+    // tokensCol would each re-run the split+filter subtree (no common
+    // subexpression elimination across interpreted HOFs)
+    val toks = col("__tk")
+    df.select(col(id), tokensCol(col(text)).as("__tk"))
+      .select(
         col(id),
         size(toks).as("n_tokens"),
         aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("sum_len"),
@@ -54,8 +58,10 @@ object TextAnalysis {
     * this on the synthetic corpus, whose vocabulary is shared across
     * the `lang` labels.) */
   def langId(df: DataFrame, id: String, text: String, threshold: Double = 0.05): DataFrame = {
-    val toks = tokensCol(col(text))
-    df.select(col(id), col("lang"),
+    // tokenize once per row (same rationale as qualityScore)
+    val toks = col("__tk")
+    df.select(col(id), col("lang"), tokensCol(col(text)).as("__tk"))
+      .select(col(id), col("lang"),
         size(toks).as("n_tokens"),
         size(filter(toks, t => t.isin(EnStopwords.map(x => x: Any): _*))).as("n_stop"))
       .select(col(id), col("lang"),
@@ -103,16 +109,22 @@ object TextAnalysis {
    */
   def chunkDedup(df: DataFrame, id: String, text: String,
                  chunkTokens: Int = 8, maxDupDocs: Long = 3): DataFrame = {
-    val toks = tokensCol(col(text))
+    // The token array is materialized as a COLUMN before the chunk
+    // transform: the lambda body references it per chunk, and an inline
+    // tokensCol expression would re-run the split+filter subtree once
+    // per chunk (the interpreted-HOF re-evaluation trap; ~2x this
+    // operator's cost measured at sf0.1).
+    val tk = col("__tk")
     val chunksArr = transform(
-      sequence(lit(0), floor((size(toks) - 1) / chunkTokens).cast("int")),
-      i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+      sequence(lit(0), floor((size(tk) - 1) / chunkTokens).cast("int")),
+      i => array_join(slice(tk, i * chunkTokens + 1, lit(chunkTokens)), " "))
     // materialize the exploded chunk table ONCE (localCheckpoint; a
     // staging table on a cluster): it feeds both the corpus-wide df
     // aggregate and the per-doc reassembly, and an inlined plan would
     // re-scan + re-explode the corpus per consumer (the q21-class
     // recompute regression)
-    val chunks = df.select(col(id), posexplode(chunksArr).as(Seq("chunk_idx", "chunk")))
+    val chunks = df.select(col(id), tokensCol(col(text)).as("__tk"))
+      .select(col(id), posexplode(chunksArr).as(Seq("chunk_idx", "chunk")))
       .localCheckpoint()
     val boilerplate = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col(id)).as("chunk_df"))
@@ -177,8 +189,12 @@ object TextAnalysis {
     var i = 0
     var done = false
     while (i < nMerges && !done) {
-      val syms = split(col("seq"), " ")
+      // split once per row: an inline split(col("seq")) referenced from
+      // the transform lambda would re-split the sequence per pair
+      // (interpreted-HOF re-evaluation)
+      val syms = col("__sy")
       val top = vocab
+        .select(col("freq"), split(col("seq"), " ").as("__sy"))
         .filter(size(syms) >= 2)
         .select(col("freq"), explode(
           transform(sequence(lit(0), size(syms) - 2),
@@ -311,10 +327,22 @@ object TextAnalysis {
   def bm25TopK(df: DataFrame, id: String, text: String, terms: Seq[String], k: Int): DataFrame = {
     val k1 = 1.2
     val b = 0.75
-    val toks = tokenize(df, id, text)
-    val docLen = toks.groupBy(col(id)).agg(count(lit(1)).as("dl"))
-    val stats = docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    val tf = toks.filter(col("token").isin(terms.map(x => x: Any): _*))
+    // One tokenize pass, materialized once (3 consumers: doc lengths,
+    // corpus stats, term postings). Doc length is size(tokens) — a
+    // row-level projection, NOT an explode + corpus-wide (id)-shuffle
+    // as before — and only QUERY-TERM occurrences are exploded (the
+    // array pre-filter), so the only token-shaped shuffle left is the
+    // postings aggregate, bounded by the query terms' posting sizes.
+    // Docs with zero tokens are dropped exactly like the old explode
+    // path (they produced no token rows, hence no docLen row).
+    val base = df.select(col(id), tokensCol(col(text)).as("__tk"))
+      .select(col(id), size(col("__tk")).as("dl"),
+        filter(col("__tk"), t => t.isin(terms.map(x => x: Any): _*)).as("__matched"))
+      .filter(col("dl") > 0)
+      .localCheckpoint()
+    val docLen = base.select(col(id), col("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = base.select(col(id), explode(col("__matched")).as("token"))
       .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
     val scored = tf
@@ -367,20 +395,29 @@ object TextAnalysis {
   def tfidfSimilarPairs(df: DataFrame, id: String, text: String,
                         maxDf: Long = 50, scale: Long = 10000L,
                         minScore: Long = 1L): DataFrame = {
+    // Tokens cross every shuffle as xxhash64 LONGS, never strings: the
+    // output never contains a token, only pair scores, so the posting/
+    // df/self-join keys need token EQUALITY, not identity — the same
+    // trade duplicatedSpans makes for grams (a 64-bit collision merges
+    // two tokens' postings at ~1e-19/pair odds). At 100 TB this shrinks
+    // the three token-keyed shuffles by the average token width and
+    // replaces string hashing/comparison in the aggregates with long
+    // ops.
     val postings = tokenize(df, id, text)
-      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = postings.groupBy(col("token"))
+      .select(col(id), xxhash64(col("token")).as("tok_h"))
+      .groupBy(col(id), col("tok_h")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("tok_h"))
       .agg(count(lit(1)).as("df"))
       // df=1 tokens pair with nothing; dropping them BEFORE the join
       // removes the long unique-token tail (most of a web corpus)
       .filter(col("df") >= 2 && col("df") <= maxDf)
-    val w = postings.join(dfreq, "token")
-      .select(col("token"), col(id).as("doc"),
+    val w = postings.join(dfreq, "tok_h")
+      .select(col("tok_h"), col(id).as("doc"),
         (col("tf") * expr(s"$scale div df")).as("w"))
       .localCheckpoint()
-    val a = w.select(col("token"), col("doc").as("doc_a"), col("w").as("wa"))
-    val b = w.select(col("token"), col("doc").as("doc_b"), col("w").as("wb"))
-    a.join(b, "token")
+    val a = w.select(col("tok_h"), col("doc").as("doc_a"), col("w").as("wa"))
+    val b = w.select(col("tok_h"), col("doc").as("doc_b"), col("w").as("wb"))
+    a.join(b, "tok_h")
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"), sum(col("wa") * col("wb")).as("score"))
@@ -419,14 +456,26 @@ object TextAnalysis {
   def duplicatedSpans(df: DataFrame, id: String, text: String,
                       k: Int = 8, minOccurrences: Long = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = tokensCol(col(text))
+    // Token hashes are materialized as a COLUMN before the gram
+    // transform: higher-order functions run interpreted, so a lambda
+    // body referencing the raw tokenize expression re-evaluates the
+    // whole split+filter subtree once per gram (measured 10x the
+    // per-gram cost on the sf0.1 documents table — same trap as
+    // Dedup.shinglesFromToks). Each token is xxhash64'd ONCE; a gram's
+    // hash is xxhash64 over its k token hashes — boundary-safe exactly
+    // like the previous " "-joined string (tokens carry no spaces),
+    // same 64-bit collision trade, and it never materializes the ~k·8
+    // char gram string per position. Output is unchanged: only which
+    // grams are EQUAL matters downstream.
     // sequence(0, n-k) runs DESCENDING when n < k (see LangModel) —
     // guard to an empty gram array for short documents
-    val gramsArr = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => xxhash64(array_join(slice(toks, i + 1, lit(k)), " "))))
+    val hs = col("__hs")
+    val gramsArr = when(size(hs) >= k,
+      transform(sequence(lit(0), size(hs) - k),
+        i => xxhash64(slice(hs, i + 1, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
     val grams = df
+      .select(col(id), transform(tokensCol(col(text)), t => xxhash64(t)).as("__hs"))
       .select(col(id), posexplode(gramsArr).as(Seq("pos", "gram_h")))
       .localCheckpoint()
     val dup = grams.groupBy(col("gram_h"))

@@ -106,8 +106,13 @@ object CurationQueries {
     * (stopword cut as n_stop·2 ≤ n_tokens), so the report is
     * engine-exact. */
   def q107CurationFunnel(s: SparkSession, d: String): DataFrame = {
-    val toks = graft.ops.TextAnalysis.tokensCol(col("text"))
-    val base = documents(s, d).select(col("doc_id"), col("lang"),
+    // tokenize once per row: two sibling expressions over an inline
+    // tokensCol would each re-run the split+filter subtree
+    val toks = col("__tk")
+    val base = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.ops.TextAnalysis.tokensCol(col("text")).as("__tk"))
+      .select(col("doc_id"), col("lang"),
       size(toks).as("n_tokens"),
       size(filter(toks, t =>
         t.isin(graft.ops.TextAnalysis.EnStopwords.map(x => x: Any): _*))).as("n_stop"))
@@ -269,8 +274,10 @@ object CurationQueries {
     * (sum_len·10⁶ div n_tokens): exact integer fixed point on both
     * sides, no float formatting in the oracle compare. */
   def q81TokenBudget(s: SparkSession, d: String): DataFrame = {
-    val toks = graft.ops.TextAnalysis.tokensCol(col("text"))
+    // tokenize once per row (same sibling-expression rationale as q107)
+    val toks = col("__tk")
     val qs = documents(s, d)
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokensCol(col("text")).as("__tk"))
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_len"))

@@ -928,4 +928,48 @@ class CurationSpec extends AnyFunSuite {
       (6L, 5L, 2L, false, 500000))
     assert(got == want)
   }
+
+  test("minhash_md5 kernel is bit-identical to md5(concat(shingle, '#j'))") {
+    // the q21 oracle pins the seeded-md5 scheme; the fused kernel
+    // (graft.functions.MinhashMd5, raw digests) rendered through
+    // lower(hex(·)) must reproduce the composed built-ins
+    // byte-for-byte, including empty and non-ASCII shingles — and raw
+    // unsigned binary order must agree with hex lexicographic order
+    // (the min-aggregate equivalence)
+    val shingles = Seq("", "a", "hash join fast", "zz#7", "héllo wörld δ",
+      "the the the", "0 1 2", "x" * 200)
+    val df = shingles.toDF("s")
+    val k = 8
+    val fused = df.select(array((0 until k).map(j =>
+        lower(hex(element_at(graft.functions.MinhashMd5.column(col("s"), k), j + 1)))): _*).as("m"))
+      .as[Seq[String]].collect()
+    val builtin = df.select(array((0 until k).map(j =>
+        md5(concat($"s", lit(s"#$j")))): _*).as("m"))
+      .as[Seq[String]].collect()
+    assert(fused.toSeq == builtin.toSeq)
+    // min over raw binary == min over hex strings (unsigned byte order)
+    val minFused = df.select(lower(hex(min(
+        element_at(graft.functions.MinhashMd5.column(col("s"), k), 1)))).as("m"))
+      .as[String].head()
+    val minBuiltin = df.select(min(md5(concat($"s", lit("#0")))).as("m"))
+      .as[String].head()
+    assert(minFused == minBuiltin)
+    // null propagates like the built-in md5
+    val withNull = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "s")
+    val r = withNull.select(graft.functions.MinhashMd5.column(col("s"), k).as("m"))
+      .collect()
+    assert(r(0).isNullAt(0))
+  }
+
+  test("aspectBucketBatches fails fast when the id column collides with an internal name") {
+    // the one prefix-sum caller the round-5 guard sweep missed
+    // (VERDICT r5): an id named like a working column must refuse with
+    // the rename instruction, not an ambiguous-column error
+    val df = Seq((640L, 480L, 1L)).toDF("w", "h", "x")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.aspectBucketBatches(df, "w", col("w"), col("h"),
+        buckets = Seq((1, 1), (4, 3)), batchSize = 4)
+    }
+    assert(e.getMessage.contains("collides"))
+  }
 }

@@ -7,6 +7,12 @@
 # Usage: tools/lc_refresh.sh [passes]   (default 2)
 # Requires /tmp/cp.txt (sbt "export Runtime/fullClasspath" | tail -1).
 set -u
+# fail fast with a clear message instead of launching java with an
+# empty -cp (ADVICE r5)
+if [ ! -r /tmp/cp.txt ]; then
+  echo "lc_refresh: /tmp/cp.txt missing — run: sbt 'export Runtime/fullClasspath' | tail -1 > /tmp/cp.txt" >&2
+  exit 2
+fi
 CP=$(cat /tmp/cp.txt)
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 OUT=${LC_REFRESH_OUT:-/tmp/lc_refresh.tsv}
@@ -41,6 +47,13 @@ leg() { # leg <mode:l|lc> <cores>
     out=$(taskset -c "$pins" java $OPENS -Dspark.ui.enabled=false -Xmx24g \
       -XX:ActiveProcessorCount=$cores -cp "$CP" \
       graft.Bench --crawl "$cores" 100000 true 2>/dev/null | grep CRAWL_LEG)
+  fi
+  if [ -z "$out" ]; then
+    # a failed java launch (or a leg that died before CRAWL_LEG) must
+    # not append a timestamp-only malformed row and print a
+    # success-looking line (ADVICE r5)
+    echo "lc_refresh: $mode$cores leg produced no CRAWL_LEG line — skipping TSV append" >&2
+    return 1
   fi
   echo -e "$(date +%H:%M:%S)\t$mode$cores\t$pins\t$out" >> "$OUT"
   echo "$(date +%H:%M:%S) $mode$cores pins=$pins $out"
