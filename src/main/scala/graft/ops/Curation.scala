@@ -164,9 +164,16 @@ object Curation {
   def contamination(df: DataFrame, id: String, text: String,
                     bench: DataFrame, benchText: String,
                     n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val docGrams = graft.ops.Dedup.shingles(df, id, text, n)
+    // grams travel as xxhash64 longs on BOTH sides (output is counts
+    // only — the hashedShingles trade): the broadcast set holds 8-byte
+    // keys and the corpus-side probe compares longs. The bench side
+    // materializes its token array before the shingle transform (the
+    // interpreted-HOF re-evaluation trap).
+    val docGrams = graft.ops.Dedup.hashedShingles(df, id, text, n)
     val benchGrams = bench
-      .select(explode(graft.ops.Dedup.shinglesCol(col(benchText), n)).as("shingle"))
+      .select(TextAnalysis.tokensCol(col(benchText)).as("__tk"))
+      .select(explode(graft.ops.Dedup.shinglesFromToks(col("__tk"), n)).as("shingle"))
+      .select(xxhash64(col("shingle")).as("shingle"))
       .distinct()
       .withColumn("bench_hit", lit(true))
     docGrams.join(broadcast(benchGrams), Seq("shingle"), "left")
@@ -236,21 +243,39 @@ object Curation {
       .sortWithinPartitions(sortExprs: _*)
       .localCheckpoint()
     val ti = base.schema.fieldIndex("n_tokens")
-    val partSums = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // Both passes run at the InternalRow level (GraftBridge): the public
+    // `.rdd` / `createDataFrame` pair would funnel every row through the
+    // external-type converters (UTF8String->String and back, etc.) twice
+    // — pure per-row overhead the running sum doesn't need. Rows are
+    // copied before wrapping because the source iterator may reuse its
+    // UnsafeRow buffer.
+    val internal = org.apache.spark.sql.GraftBridge.toInternalRdd(base)
+    val partSums = internal.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L; it.foreach(r => s += r.getLong(ti)); Iterator((pid, s))
     }.collect().toMap
     val offsets = (0 until partSums.size).scanLeft(0L)((acc, p) => acc + partSums(p))
     val bcOff = spark.sparkContext.broadcast(offsets)
-    val schema = base.schema.add("start_tok", org.apache.spark.sql.types.LongType)
-    spark.createDataFrame(
-      base.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var acc = bcOff.value(pid)
-        it.map { r =>
-          val row = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
-          acc += r.getLong(ti)
-          row
+    val baseSchema = base.schema
+    val nFields = baseSchema.length
+    val dts = baseSchema.fields.map(_.dataType)
+    val schema = baseSchema.add("start_tok", org.apache.spark.sql.types.LongType)
+    val out = internal.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bcOff.value(pid)
+      it.map { r0 =>
+        val r = r0.copy()
+        val vals = new Array[Any](nFields + 1)
+        var i = 0
+        while (i < nFields) {
+          vals(i) = if (r.isNullAt(i)) null else r.get(i, dts(i))
+          i += 1
         }
-      }, schema)
+        vals(nFields) = acc
+        acc += r.getLong(ti)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    org.apache.spark.sql.GraftBridge.fromInternalRdd(spark, out, schema)
   }
 
   /**

@@ -34,7 +34,7 @@ object Dedup {
     * run interpreted (no codegen), so an element_at(toks, i+j) per
     * output element re-evaluates the token expression tree per shingle
     * — measured 14x slower on the sf0.1 documents table. */
-  private def shinglesFromToks(toks: Column, n: Int): Column =
+  private[ops] def shinglesFromToks(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - n + 1),
         i => array_join(slice(toks, i, lit(n)), " ")))
@@ -58,6 +58,19 @@ object Dedup {
   /** (id, shingle) distinct rows. */
   def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     shinglesExploded(df, id, text, n).distinct()
+
+  /** (id, shingle) distinct rows with the shingle as its xxhash64 LONG
+    * (same column name, so the downstream join/df plumbing is
+    * identical). For the pair ops whose OUTPUT never contains a
+    * shingle — only intersection counts and scores — shingle EQUALITY
+    * is all the distinct/df/self-join steps need, so every
+    * shingle-keyed shuffle carries 8 bytes instead of an n-token
+    * string (the q95-gram / q84-token trade; a 64-bit collision merges
+    * two shingles at ~1e-19/pair odds and is the standard accept). */
+  private[ops] def hashedShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    shinglesExploded(df, id, text, n)
+      .select(col(id), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
 
   /** MinHash signatures: k md5-derived min-hashes per document.
     * No pre-distinct on shingles: min() is duplicate-insensitive, so
@@ -153,7 +166,8 @@ object Dedup {
   def jaccardForPairs(docs: DataFrame, id: String, text: String, n: Int,
                       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val ids = pairs.select(col(aCol).as(id)).union(pairs.select(col(bCol).as(id))).distinct()
-    val sh = shingles(docs.join(ids, Seq(id), "left_semi"), id, text, n).localCheckpoint()
+    // hashed shingles: output is counts/ppm only (see hashedShingles)
+    val sh = hashedShingles(docs.join(ids, Seq(id), "left_semi"), id, text, n).localCheckpoint()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("shingle"), col(id).as(aCol))
       .join(sh.select(col("shingle"), col(id).as(bCol)), "shingle")
@@ -366,7 +380,12 @@ object Dedup {
         .agg(min(col("label")).as("label"),
           min(when(col("__self"), col("label"))).as("__old"))
         .localCheckpoint()
-      converged = next.filter(col("label") < col("__old")).isEmpty
+      // single-job convergence check: a global any-changed aggregate
+      // (df.isEmpty ramps take(1) over 1/4/16/... partitions — up to 4
+      // scheduler round-trips on exactly the converged round)
+      converged = !next
+        .agg(coalesce(max(col("label") < col("__old")), lit(false)).as("chg"))
+        .head().getBoolean(0)
       labels = next.select(col("node"), col("label")) // projection of the checkpointed frame
       round += 1
     }
@@ -401,7 +420,8 @@ object Dedup {
     * checkpoint. */
   def ngramJaccard(df: DataFrame, id: String, text: String, n: Int,
                    minJaccard: Double, dfCap: Long = 10000L): DataFrame = {
-    val sh = shingles(df, id, text, n).localCheckpoint()
+    // hashed shingles: output is pairs/scores only (see hashedShingles)
+    val sh = hashedShingles(df, id, text, n).localCheckpoint()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val kept = keptShingles(sh, dfCap)
     val a = kept.select(col("shingle"), col(id).as("doc_a"))
@@ -440,7 +460,8 @@ object Dedup {
     */
   def containment(df: DataFrame, id: String, text: String, n: Int,
                   minContainPpm: Long, dfCap: Long = 10000L): DataFrame = {
-    val sh = shingles(df, id, text, n).localCheckpoint()
+    // hashed shingles: output is pairs/counts/ppm only (see hashedShingles)
+    val sh = hashedShingles(df, id, text, n).localCheckpoint()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val kept = keptShingles(sh, dfCap)
     val a = kept.select(col("shingle"), col(id).as("doc_a"))

@@ -341,6 +341,13 @@ object Similarity {
    * bit-identical cells, k bounded only by broadcast size (k·dim·8
    * bytes — a 65k×64 codebook is 33 MB).
    */
+  // Empirically pinned (r6, sf0.1 embeddings, dim 64, 1 round + final
+  // assignment, local[32] — VERDICT r5 item 6): literal vs join path
+  // k=64: 1.21/1.20 s; k=128: 1.26/1.03 s; k=256: 2.83/1.47 s (the
+  // literal plan's generated method now fails Janino compilation —
+  // InternalCompilerException — and runs interpreted); k=512:
+  // 3.95/1.28 s. Codegen blowup onset sits between 128 and 256, so 128
+  // stays the default; raising it is never a win at dim 64.
   private[graft] val DefaultLiteralMaxK = 128
 
   def kmeansCentroids(df: DataFrame, id: String, emb: String, k: Int,

@@ -112,11 +112,15 @@ object Relational {
     * semantics (`master/master_node.py:119-127`). */
   def q5FirstSeen(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // min(struct(ts, event_id)) IS row_number()=1 over (ts, event_id) —
+    // struct ordering is field-lexicographic — but as a map-side-
+    // combinable aggregate: no per-key sort, no window exchange over the
+    // full event stream, and a hot user partial-aggregates across
+    // partitions instead of sorting in one task (guide §2.4/§2.5)
     events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", $"event_id".as("first_event"), $"ts".as("first_ts"))
+      .groupBy($"user_id")
+      .agg(min(struct($"ts", $"event_id")).as("m"))
+      .select($"user_id", $"m.event_id".as("first_event"), $"m.ts".as("first_ts"))
       .orderBy($"user_id")
   }
 
@@ -129,11 +133,14 @@ object Relational {
   /** q6: latest-per-key — Whoosh `update_document` upsert semantics (S7). */
   def q6LatestUpsert(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    // max(struct(ts, event_id, payload)) == row_number()=1 over
+    // (ts DESC, event_id DESC): event_id is unique per event, so the
+    // trailing payload field never decides the ordering — it just rides
+    // along. Same no-sort map-side-combinable shape as q5.
     events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", $"event_id".as("last_event"), $"event_type".as("last_type"))
+      .groupBy($"user_id")
+      .agg(max(struct($"ts", $"event_id", $"event_type")).as("m"))
+      .select($"user_id", $"m.event_id".as("last_event"), $"m.event_type".as("last_type"))
       .orderBy($"user_id")
   }
 
