@@ -353,6 +353,10 @@ object Dedup {
    *
    * Returns (node, label): every node of `nodes`, labeled with the
    * smallest id in its component (singletons label themselves).
+   * Precondition (held by every caller — edges are derived from the
+   * node set): edge endpoints are members of `nodes`; an endpoint
+   * outside it would now surface as its own output row (the pre-r6
+   * left-join form silently dropped such rows instead).
    */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, aCol: String, bCol: String,
